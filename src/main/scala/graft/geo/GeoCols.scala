@@ -1,0 +1,85 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Catalyst-friendly spatial Column expressions. Everything here composes
+  * built-in expressions only (arithmetic, floor, CASE) — no UDFs, no
+  * closures — so plans stay inside whole-stage codegen and predicates push
+  * down to the parquet scan.
+  *
+  * Every formula has a character-for-character SQL twin in
+  * [[graft.oracle.OracleSql]]; both are pure IEEE-double arithmetic over
+  * the same inputs, so Spark and DuckDB produce bit-identical values.
+  */
+object GeoCols {
+
+  /** Row-major grid cell id at resolution r — the global partition key.
+    * Distributed analog of the reference's per-node MBR prune
+    * (RStarTree.java:426): filters on this column prune parquet row groups
+    * and partitions. */
+  def cellCol(lat: Column, lon: Column, r: Int): Column = {
+    val latStep = CellId.latStep(r)
+    val lonStep = CellId.lonStep(r)
+    floor((lat + lit(90.0)) / lit(latStep)) * lit(CellId.n(r)) +
+      floor((lon + lit(180.0)) / lit(lonStep))
+  }
+
+  /** Morton (Z-order) id at resolution r — the clustering key for bulk
+    * packing. Pure bit-twiddling on built-in expressions (shiftleft / and /
+    * or), codegen-compatible. */
+  def zCol(lat: Column, lon: Column, r: Int): Column = {
+    val y = floor((lat + lit(90.0)) / lit(CellId.latStep(r))).cast("long")
+    val x = floor((lon + lit(180.0)) / lit(CellId.lonStep(r))).cast("long")
+    def spread(v: Column): Column = {
+      var c = v.bitwiseAND(lit(0xFFFFFFFFL))
+      c = (c.bitwiseOR(shiftleft(c, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      c = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      c = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      c = (c.bitwiseOR(shiftleft(c, 2))).bitwiseAND(lit(0x3333333333333333L))
+      c = (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x5555555555555555L))
+      c
+    }
+    shiftleft(spread(y), 1).bitwiseOR(spread(x))
+  }
+
+  /** Inclusive box containment — MBR.java:57-64 semantics. */
+  def inBox(lat: Column, lon: Column, b: MBR): Column =
+    lat >= lit(b.minLat) && lat <= lit(b.maxLat) &&
+    lon >= lit(b.minLon) && lon <= lit(b.maxLon)
+
+  /** Squared planar degree-space distance — MBR.java:67-79 / the serial
+    * kNN metric (Benchmark.java:425-430). Squared (sqrt-free) so ordering
+    * and pruning are exact. */
+  def d2(lat: Column, lon: Column, qLat: Double, qLon: Double): Column =
+    (lat - lit(qLat)) * (lat - lit(qLat)) + (lon - lit(qLon)) * (lon - lit(qLon))
+
+  def d2Cols(lat: Column, lon: Column, qLat: Column, qLon: Column): Column =
+    (lat - qLat) * (lat - qLat) + (lon - qLon) * (lon - qLon)
+
+  /** Even–odd ray-crossing point-in-polygon against a polygon *literal* —
+    * the one predicate the reference lacks (boxes only) that the north rule
+    * adds. Compiles to a sum of CASE WHEN over the edges, % 2 — identical
+    * arithmetic to [[Poly.contains]] and to the generated oracle SQL, and
+    * fully inside whole-stage codegen. */
+  def stContains(poly: Poly, lat: Column, lon: Column): Column = {
+    val edges = poly.ring.indices.map { i =>
+      val j = if (i == 0) poly.ring.length - 1 else i - 1
+      val (yi, xi) = poly.ring(i)
+      val (yj, xj) = poly.ring(j)
+      val crosses = ((lit(yi) > lat) =!= (lit(yj) > lat)) &&
+        (lon < (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi))
+      when(crosses, lit(1)).otherwise(lit(0))
+    }
+    (edges.reduce(_ + _) % lit(2)) === lit(1)
+  }
+
+  /** Derive deterministic (lat, lon) from a 64-bit phash — keeps the stored
+    * image table at the exact 7-column `input_hint` shape while giving every
+    * row a reproducible point. High 32 bits → lat, low 32 → lon. */
+  def geoFromPhashLat(phash: Column): Column =
+    (shiftrightunsigned(phash, 32) % lit(180000L)) / lit(1000.0) - lit(90.0)
+
+  def geoFromPhashLon(phash: Column): Column =
+    (phash.bitwiseAND(lit(0xFFFFFFFFL)) % lit(360000L)) / lit(1000.0) - lit(180.0)
+}

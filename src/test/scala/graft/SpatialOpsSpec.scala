@@ -1,0 +1,144 @@
+package graft
+
+import graft.data.{Fixtures, Points}
+import graft.geo.{GeoCols, MBR}
+import graft.ops.SpatialOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator ≡ brute-force oracle equivalence on sf0.001 (the latent oracle
+  * the reference computes but never asserts — Benchmark.java:107-117 times
+  * serial vs indexed and discards both result lists; we assert them). */
+class SpatialOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val pts = Points(spark, dir).cache()
+  lazy val rows: Array[(Long, Double, Double)] =
+    pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+
+  test("rangeBox (pruned) == brute-force inclusive filter") {
+    for ((_, b) <- Fixtures.boxes) {
+      val got = SpatialOps.rangeBox(pts, b).select("id").collect().map(_.getLong(0)).toSet
+      val exp = rows.filter { case (_, la, lo) => b.contains(la, lo) }.map(_._1).toSet
+      assert(got == exp, s"box $b")
+    }
+  }
+
+  test("knnRing == knnSerial == in-memory top-k (deterministic tie-break)") {
+    val (qla, qlo) = Fixtures.knnPoint
+    val k = Fixtures.knnK
+    val exp = rows.map { case (id, la, lo) =>
+      (id, (la - qla) * (la - qla) + (lo - qlo) * (lo - qlo))
+    }.sortBy { case (id, d2) => (d2, id) }.take(k).map(_._1).toSeq
+    val serial = SpatialOps.knnSerial(pts, qla, qlo, k)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val ring = SpatialOps.knnRing(pts, qla, qlo, k)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(serial == exp)
+    assert(ring == exp)
+  }
+
+  test("knnRing across several query points and ks") {
+    for ((qla, qlo, k) <- Seq((0.0, 0.0, 1), (-80.0, 170.0, 10), (45.5, -120.25, 100))) {
+      val exp = rows.map { case (id, la, lo) =>
+        (id, (la - qla) * (la - qla) + (lo - qlo) * (lo - qlo))
+      }.sortBy { case (id, d2) => (d2, id) }.take(k).map(_._1).toSeq
+      val got = SpatialOps.knnRing(pts, qla, qlo, k)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      assert(got == exp, s"q=($qla,$qlo) k=$k")
+    }
+  }
+
+  test("skyline == O(n^2) dominance oracle (Benchmark.java:508-515)") {
+    val dpts = rows.map { case (_, la, lo) => (la, lo) }.distinct
+    val exp = dpts.filter { p =>
+      !dpts.exists(q => q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2))
+    }.toSet
+    val got = SpatialOps.skyline(pts).collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == exp)
+  }
+
+  test("boxJoin == nested-loop oracle (multiset: input rows can repeat)") {
+    def counts[T](xs: Seq[T]): Map[T, Int] = xs.groupBy(identity).view.mapValues(_.size).toMap
+    val got = SpatialOps.boxJoin(pts, Fixtures.boxes)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val exp = for {
+      (bid, b) <- Fixtures.boxes
+      (id, la, lo) <- rows if b.contains(la, lo)
+    } yield (bid, id)
+    // exact multiset equality: the covering-cell join introduces no
+    // duplication beyond input-row multiplicity (one cell per point)
+    assert(counts(got) == counts(exp))
+  }
+
+  test("pipJoin == Poly.contains oracle; concave handled") {
+    val got = SpatialOps.pipJoin(pts, Fixtures.polys)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val exp = (for {
+      (pid, p) <- Fixtures.polys
+      (id, la, lo) <- rows if p.contains(la, lo)
+    } yield (pid, id)).toSet
+    assert(got == exp)
+    assert(exp.exists(_._1 == Fixtures.polyConcave._1), "concave poly matched no points")
+  }
+
+  test("knnJoin == per-query in-memory top-k") {
+    val got = SpatialOps.knnJoin(pts, Fixtures.knnQueries, Fixtures.knnJoinK)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val exp = (for {
+      (qid, qla, qlo) <- Fixtures.knnQueries
+      ranked = rows.map { case (id, la, lo) =>
+        (id, (la - qla) * (la - qla) + (lo - qlo) * (lo - qlo))
+      }.sortBy { case (id, d2) => (d2, id) }.take(Fixtures.knnJoinK)
+      ((id, _), i) <- ranked.zipWithIndex
+    } yield (qid, (i + 1).toLong, id)).toSet
+    assert(got.toSet == exp)
+  }
+
+  test("tile assignment is total, single-cell, and parallelism-invariant") {
+    val a4 = SpatialOps.tileAssign(pts, Fixtures.TileRes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(t => t).toSeq
+    val a1 = SpatialOps.tileAssign(pts.repartition(13), Fixtures.TileRes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(t => t).toSeq
+    assert(a4 == a1)                       // partitioning-independent
+    assert(a4.length == rows.length)       // total
+    // each (id, lat, lon) gets exactly the codec's cell
+    val expected = rows.map { case (id, la, lo) =>
+      (id, graft.geo.CellId.grid(la, lo, Fixtures.TileRes))
+    }.sortBy(t => t).toSeq
+    assert(a4 == expected)
+  }
+
+  test("indexSummary equals per-group min/max/count") {
+    val got = SpatialOps.indexSummary(pts, 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val exp = rows.groupBy { case (_, la, lo) => graft.geo.CellId.grid(la, lo, 3) }
+      .map { case (g, rs) =>
+        g -> (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max, rs.map(_._3).min, rs.map(_._3).max)
+      }
+    assert(got == exp)
+  }
+
+  test("bulkload packing: slabs of 50 by lat (RStarTree.java:177,189-200)") {
+    val leaves = SpatialOps.bulkloadLeaves(pts).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = rows.length
+    assert(leaves.map(_._2).sum == n)
+    val full = leaves.dropRight(1)
+    assert(full.forall(_._2 == Fixtures.PackFanout))
+    // leaves are lat-ordered slabs: max(lat) of leaf i <= min(lat) of leaf i+1
+    val mbrs = SpatialOps.bulkloadLeaves(pts).orderBy("leaf").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    for (i <- 0 until mbrs.length - 1)
+      assert(mbrs(i)._2 <= mbrs(i + 1)._1 + 1e-12)
+  }
+}
