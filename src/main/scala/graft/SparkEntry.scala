@@ -1,7 +1,7 @@
 package graft
 
 import graft.data.{Fixtures, Points}
-import graft.ops.SpatialOps
+import graft.ops.{AnnOps, Dedup, EventOps, SpatialOps, TextOps}
 import graft.oracle.OracleSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -37,7 +37,31 @@ object SparkEntry {
     "q15_tile_assign" -> ((s, dir) => SpatialOps.tileAssign(Points(s, dir))),
     "q16_tile_histogram" -> ((s, dir) => SpatialOps.tileHistogram(Points(s, dir))),
     "q17_pip_join" -> ((s, dir) => SpatialOps.pipJoin(Points(s, dir), Fixtures.polys)),
+    // --- training-data pipeline ops over documents/embeddings/events ---
+    "q20_token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
+    "q21_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
+    "q22_lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "q23_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "q24_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), 5, Fixtures.jaccardThreshold)),
+    "q25_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "q26_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "q26b_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "q27_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "q28_ann_topk" -> ((s, dir) =>
+      AnnOps.cosineTopK(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+    "q28b_ann_ivf" -> ((s, dir) =>
+      AnnOps.annIvf(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+    "q29_embed_neardup" -> ((s, dir) => AnnOps.nearDupPairs(emb(s, dir), 29, 250000L)),
+    "q30_window_agg" -> ((s, dir) =>
+      EventOps.windowAgg(s.read.parquet(s"$dir/events.parquet"))),
+    "q31_stream_window" -> ((s, dir) => EventOps.streamWindowAgg(s, dir)),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   def oracleSql: Map[String, String] = Map(
     "q03_point_lookup" -> OracleSql.pointLookup(8L, 256L),
@@ -53,5 +77,16 @@ object SparkEntry {
     "q15_tile_assign" -> OracleSql.tileAssign(Fixtures.TileRes),
     "q16_tile_histogram" -> OracleSql.tileHistogram(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
+    "q20_token_count" -> OracleSql.tokenCount,
+    "q21_quality" -> OracleSql.quality(Fixtures.stopwords),
+    "q22_lang_id" -> OracleSql.langId(Fixtures.stopwords),
+    "q23_dedup_exact" -> OracleSql.dedupExact,
+    "q24_ngram_jaccard" -> OracleSql.ngramJaccard(5, Fixtures.jaccardThreshold),
+    // q25–q27 (minhash LSH, simhash, fingerprint) use xxhash64 — not
+    // SQL-expressible → rows-only driver check; pinned by specs instead.
+    "q28_ann_topk" -> OracleSql.annTopK(Fixtures.annQueryIds, Fixtures.annK),
+    "q29_embed_neardup" -> OracleSql.nearDupPairs(29, 250000L),
+    "q30_window_agg" -> OracleSql.windowAgg,
+    "q31_stream_window" -> OracleSql.windowAgg,
   )
 }

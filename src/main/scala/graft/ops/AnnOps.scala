@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor + embedding similarity over the
+  * `embeddings` table (vec_id, embedding: array<float>, label).
+  *
+  * All dot products are computed in double (each float cast before
+  * multiply, left-fold sum) — the exact shape the DuckDB oracle mirrors —
+  * and similarities are quantized to `simq = floor(sim * 1e6)` before any
+  * ordering/threshold so float-sum associativity differences between
+  * engines can never flip a comparison.
+  */
+object AnnOps {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def simq(sim: Column): Column = floor(sim * lit(1000000)).cast("long")
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k (the correctness baseline): broadcast the
+    * query vectors, one map-side pass over all embeddings, per-query top-k.
+    * This is the exact plan kNN-join uses at any scale when Q is small —
+    * zero shuffles on the corpus side, one narrow window on Q·N candidate
+    * rows pre-pruned by nothing (baseline). */
+  def cosineTopK(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val sim = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sq").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .withColumn("sq", simq(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("vid"), col("sq"))
+  }
+
+  /** Embedding-cosine near-dup pairs: deterministic probe subset × corpus,
+    * keep pairs above the quantized similarity threshold. The probe-subset
+    * form is the oracle-checkable slice of the full all-pairs problem (the
+    * full version is `annIvf`/LSH territory at scale). */
+  def nearDupPairs(emb: DataFrame, probeMod: Int, simqThreshold: Long): DataFrame = {
+    val e = withNorm(emb)
+    val probes = e.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val sim = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sq", simq(sim))
+      .filter(col("sq") >= simqThreshold)
+      .select(col("qid"), col("vec_id").as("vid"), col("sq"))
+  }
+
+  /** IVF-style ANN (the scale path): build centroids per coarse partition
+    * (here: the label column as the pre-assigned IVF list — at scale,
+    * k-means iterations of exactly this groupBy shape), route each query to
+    * its `nprobe` nearest centroids, search only those lists. One broadcast
+    * of (tiny) centroids; corpus side shuffles once on list id at build
+    * time, never at query time. Approximate → verified by a recall spec,
+    * rows-only driver check. */
+  def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int, nprobe: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val dim = 64
+    // centroid per list: element-wise mean via posexplode + groupBy(list, dim)
+    val cent = e.select(col("label").as("list"), posexplode(col("v")))
+      .groupBy("list", "pos").agg(avg(col("col")).as("c"))
+      .groupBy("list").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("list"), transform(col("pc"), s => s.getField("c")).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // route: top-nprobe centroid lists per query
+    val wRoute = Window.partitionBy(col("qid"))
+      .orderBy(simq(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).desc, col("list"))
+    val routes = q.crossJoin(broadcast(cent))
+      .withColumn("rr", row_number().over(wRoute))
+      .filter(col("rr") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnrm"), col("list"))
+    // search only the routed lists
+    val sim = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sq").desc, col("vec_id"))
+    e.join(broadcast(routes), e("label") === routes("list"))
+      .withColumn("sq", simq(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("vid"), col("sq"))
+  }
+}

@@ -144,4 +144,105 @@ object OracleSql {
        |       min(lat) AS minlat, max(lat) AS maxlat,
        |       min(lon) AS minlon, max(lon) AS maxlon
        |FROM pts GROUP BY 1""".stripMargin
+
+  // ---------- text / dedup / ANN / events ----------
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  def tokenCount: String =
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+
+  def quality(stopwords: Seq[String]): String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(toks, x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop,
+       |       CAST(len(list_filter(toks, x -> x IN (${inList(stopwords)}))) AS BIGINT)
+       |         / CAST(len(toks) AS BIGINT) AS stop_ratio,
+       |       (length(text) - CAST(len(toks) AS BIGINT) + 1)
+       |         / CAST(len(toks) AS BIGINT) AS avg_token_len
+       |FROM t""".stripMargin
+
+  def langId(stopwords: Seq[String]): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |r AS (SELECT doc_id,
+       |  CAST(len(list_filter(toks, x -> x IN (${inList(stopwords)}))) AS BIGINT)
+       |    / CAST(len(toks) AS BIGINT) AS ratio FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN ratio >= 0.08 THEN 'en' WHEN ratio >= 0.03 THEN 'en-ish'
+       |       ELSE 'unk' END AS lang_pred
+       |FROM r""".stripMargin
+
+  def dedupExact: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  /** Word k-gram shingles, 1-based; twin of [[graft.ops.TextOps.shingles]]. */
+  private def shingleExpr(k: Int): String = {
+    val concat = (0 until k).map {
+      case 0 => "t[i]"
+      case o => s"t[i+$o]"
+    }.mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(t) - ${k - 2}), i -> $concat))"
+  }
+
+  def ngramJaccard(k: Int, threshold: Double): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $k),
+       |sh AS (SELECT doc_id, unnest(${shingleExpr(k)}) AS s FROM d),
+       |cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.a_id, i.b_id, i.inter, ca.n AS na, cb.n AS nb,
+       |       i.inter / (ca.n + cb.n - i.inter) AS jacc
+       |FROM inter i
+       |JOIN cnts ca ON ca.doc_id = i.a_id
+       |JOIN cnts cb ON cb.doc_id = i.b_id
+       |WHERE i.inter / (ca.n + cb.n - i.inter) >= ${d(threshold)}""".stripMargin
+
+  /** Double-cast dot product — twin of AnnOps.dot (each float cast to
+    * double before multiply; quantized before any comparison). */
+  private val normCte: String =
+    """e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |en AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+
+  def annTopK(queryIds: Seq[Int], k: Int): String =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en
+       |      WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |pairs AS (
+       |  SELECT q.qid, en.vec_id AS vid,
+       |         CAST(FLOOR(${dotSql("q.qv", "en.v")} / (q.qnrm * en.nrm) * 1000000) AS BIGINT) AS sq
+       |  FROM q CROSS JOIN en),
+       |ranked AS (
+       |  SELECT qid, vid, sq,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT qid, rank, vid, sq FROM ranked WHERE rank <= $k""".stripMargin
+
+  def nearDupPairs(probeMod: Int, simqThreshold: Long): String =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en WHERE vec_id % $probeMod = 0)
+       |SELECT q.qid, en.vec_id AS vid,
+       |       CAST(FLOOR(${dotSql("q.qv", "en.v")} / (q.qnrm * en.nrm) * 1000000) AS BIGINT) AS sq
+       |FROM q CROSS JOIN en
+       |WHERE q.qid != en.vec_id
+       |  AND CAST(FLOOR(${dotSql("q.qv", "en.v")} / (q.qnrm * en.nrm) * 1000000) AS BIGINT) >= $simqThreshold""".stripMargin
+
+  def windowAgg: String =
+    """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hr,
+      |       event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
 }

@@ -1,0 +1,147 @@
+package graft
+
+import graft.data.Fixtures
+import graft.ops.{AnnOps, Dedup, EventOps, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup family, text analysis, ANN,
+  * streaming — checked against independent in-memory oracles on sf0.001. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  /** In-memory exact word-k-gram Jaccard over all pairs. */
+  def exactJaccardPairs(k: Int): Map[(Long, Long), Double] = {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = texts.map { case (id, t) =>
+      val toks = t.split(" ")
+      id -> toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      inter = (sa & sb).size if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("ngramJaccard matches in-memory all-pairs oracle") {
+    val exp = exactJaccardPairs(5).filter(_._2 >= Fixtures.jaccardThreshold)
+    val got = Dedup.ngramJaccard(docs, 5, Fixtures.jaccardThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.keySet == exp.keySet)
+    for ((p, j) <- got) assert(math.abs(j - exp(p)) < 1e-12, p)
+  }
+
+  test("minhashLsh: verified pairs are exact-correct; recall 1.0 at jacc>=0.9") {
+    val all = exactJaccardPairs(5)
+    val got = Dedup.minhashLsh(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // no false positives: every emitted pair really has jacc >= 0.5
+    for ((p, j) <- got) {
+      assert(all.contains(p) && all(p) >= 0.5, s"false positive $p")
+      assert(math.abs(j - all(p)) < 1e-12)
+    }
+    // high-similarity recall: 8 bands x 4 rows misses jacc>=0.9 w.p. ~2e-4
+    val high = all.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty, "fixture should contain planted near-dups")
+    assert(high.subsetOf(got.keySet), s"missed ${high -- got.keySet}")
+  }
+
+  test("simhash: deterministic, parallelism-invariant; near-identical docs have small hamming") {
+    val a = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Dedup.simhash(docs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    val byId = a.toMap
+    val nearDups = exactJaccardPairs(5).filter(_._2 >= 0.9).keySet
+    for ((x, y) <- nearDups) {
+      val ham = java.lang.Long.bitCount(byId(x) ^ byId(y))
+      assert(ham <= 8, s"near-dup ($x,$y) hamming $ham")
+    }
+  }
+
+  test("simhashPairs: every emitted pair has the claimed hamming; blocking finds all <=3") {
+    val sh = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    for (((a, b), h) <- got)
+      assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) == h && h <= 3)
+    val exp = (for {
+      (a, ha) <- sh.toSeq; (b, hb) <- sh.toSeq if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b)).toSet
+    assert(got.keySet == exp) // quarter-blocking is exhaustive for hamming<=3
+  }
+
+  test("quality/langId/tokenCount consistent with raw text") {
+    val q = TextOps.quality(docs).collect()
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- q.take(100)) {
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      assert(r.getLong(1) == toks.length)
+      assert(r.getLong(2) == toks.count(Fixtures.stopwords.contains))
+    }
+  }
+
+  test("cosineTopK matches in-memory brute force (quantized)") {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = AnnOps.cosineTopK(emb, Fixtures.annQueryIds, Fixtures.annK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = (for {
+      qid <- Fixtures.annQueryIds
+      ranked = vecs.toSeq.map { case (vid, v) =>
+          (vid, math.floor(sim(vecs(qid.toLong), v) * 1e6).toLong)
+        }.sortBy { case (vid, sq) => (-sq, vid) }.take(Fixtures.annK)
+      ((vid, _), i) <- ranked.zipWithIndex
+    } yield (qid.toLong, (i + 1).toLong, vid)).toSet
+    assert(got == exp)
+  }
+
+  test("annIvf: exact within routed lists; decent recall vs brute") {
+    val brute = AnnOps.cosineTopK(emb, Fixtures.annQueryIds, Fixtures.annK)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnOps.annIvf(emb, Fixtures.annQueryIds, Fixtures.annK, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // random embeddings: routing is weak by nature
+  }
+
+  test("streaming windowed agg == batch windowed agg") {
+    val batch = EventOps.windowAgg(spark.read.parquet(s"$dir/events.parquet"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    val stream = EventOps.streamWindowAgg(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("watermarked streaming window: emits exactly the watermark-finalized windows") {
+    val got = EventOps.streamWindowAggWatermarked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventOps.windowAgg(spark.read.parquet(s"$dir/events.parquet"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // append mode finalizes a window only once the watermark (max event time
+    // - 2h) passes its end; later windows stay in state after one micro-batch
+    val maxTs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    val wm = maxTs - 2 * 3600
+    val expected = batch.filter { case (hr, _, _) => hr + 3600 <= wm }
+    assert(got == expected)
+    assert(got.subsetOf(batch))
+  }
+}
