@@ -14,11 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001: multi-box spatial join
-    * (covering-cell broadcast join + exact refine) — the metric-bearing
-    * operator from BASELINE.json. */
-  def entry(spark: SparkSession): DataFrame =
-    SpatialOps.boxJoin(Points(spark, "/root/testdata/sf0.001"), Fixtures.boxes)
+  /** Flagship: the north-rule pipeline end-to-end — deterministic ImageRow
+    * table (exact input_hint schema) → phash-derived points → tile
+    * assignment + multi-box spatial join (covering-cell broadcast join +
+    * exact refine), with a testdata-derived join for the sf smoke check. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val images = graft.data.Synth.table(spark, 2000).toDF()
+    val pts = graft.data.Synth.imagePoints(images)
+      .withColumn("id", monotonically_increasing_id())
+    SpatialOps.boxJoin(pts, Fixtures.boxes)
+      .unionAll(SpatialOps.boxJoin(Points(spark, "/root/testdata/sf0.001"), Fixtures.boxes))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q03_point_lookup" -> ((s, dir) => SpatialOps.pointLookup(Points(s, dir), 8L, 256L)),
