@@ -1,0 +1,125 @@
+package graft.table
+
+import graft.geo.{CellId, GeoCols, MBR}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+/** One data file tracked by a snapshot, with its pruning stats and the
+  * lineage unit that produced it — the manifest-entry analog of an Iceberg
+  * DataFile (per-file cell-range stats replace the reference's per-node
+  * MBRs, IndexFile.java:37-95, at file granularity). */
+final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
+                           minLat: Double, maxLat: Double,
+                           minLon: Double, maxLon: Double,
+                           lineageId: String, wallMs: Long)
+
+/** Minimal Iceberg-shaped table format (SURVEY.md §7.4). Real Iceberg jars
+  * aren't in this environment, so the same semantics are implemented
+  * in-repo with a seam to swap the real thing:
+  *
+  * {{{
+  * <root>/data/<lineage>-<uuid>/part-*.parquet     immutable data files
+  * <root>/meta/snap-<n>/                           manifest (parquet of FileEntry)
+  * <root>/meta/current                             atomic pointer "n"
+  * }}}
+  *
+  * Commits append a new manifest = parent's entries + new entries, then
+  * atomically swing `current` (write-temp + ATOMIC_MOVE). Readers plan
+  * from a snapshot: file pruning by Z-range against a query box's covering
+  * cells — the distributed analog of the reference's subtree prune
+  * (RStarTree.java:426) at file granularity. Per-append lineage ids +
+  * wall-clock metrics make multi-unit jobs resumable: a rerun skips units
+  * already present in the current snapshot ([[resumableRun]]).
+  */
+final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
+
+  private val metaDir = Paths.get(root, "meta")
+  private val currentPtr = metaDir.resolve("current")
+  Files.createDirectories(metaDir)
+  Files.createDirectories(Paths.get(root, "data"))
+
+  def currentSnapshotId: Long =
+    if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else 0L
+
+  def manifest(snapshotId: Long = currentSnapshotId): Seq[FileEntry] = {
+    import spark.implicits._
+    if (snapshotId == 0) Seq.empty
+    else spark.read.parquet(s"$root/meta/snap-$snapshotId")
+      .as[FileEntry].collect().toSeq
+  }
+
+  def committedLineage: Set[String] = manifest().map(_.lineageId).toSet
+
+  /** Append a (lat, lon, …) DataFrame as one lineage unit: Z-cluster it
+    * (repartitionByRange + sortWithinPartitions — the bulk-load pack),
+    * write immutable parquet, derive per-file stats from the written files
+    * themselves, and commit parent-manifest + new entries atomically. */
+  def append(df: DataFrame, lineageId: String, numPartitions: Int = 0): Long = {
+    val t0 = System.nanoTime()
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val unitDir = s"$root/data/$lineageId-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val stats = spark.read.parquet(unitDir)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"), min(col("__z")).as("minZ"), max(col("__z")).as("maxZ"),
+        min(col("lat")).as("minLat"), max(col("lat")).as("maxLat"),
+        min(col("lon")).as("minLon"), max(col("lon")).as("maxLon"))
+      .collect()
+      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        lineageId, wallMs))
+    commit(stats.toSeq)
+  }
+
+  /** Manifest-append commit: parent entries + new entries → snap-(n+1),
+    * atomic pointer swing. Single-writer (the driver) — matching the
+    * reference's single-threaded writer; multi-writer needs a CAS on
+    * `current`, which real Iceberg's catalog provides at the seam. */
+  private def commit(newEntries: Seq[FileEntry]): Long = {
+    import spark.implicits._
+    val next = currentSnapshotId + 1
+    val all = manifest() ++ newEntries
+    spark.createDataset(all).coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
+    val tmp = metaDir.resolve(s"current.tmp.$next")
+    Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Plan a read from the current snapshot; `box` prunes manifest entries
+    * whose lat/lon range cannot intersect it. Returns (files read, total
+    * files) alongside the DataFrame so callers/tests can observe pruning. */
+  def read(box: Option[MBR] = None): (DataFrame, Int, Int) = {
+    val entries = manifest()
+    val kept = box match {
+      case None => entries
+      case Some(b) => entries.filter(e =>
+        MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b))
+    }
+    require(entries.nonEmpty, "empty table: nothing committed yet")
+    val df =
+      if (kept.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
+      else spark.read.parquet(kept.map(_.path): _*)
+    (df.drop("__z"), kept.size, entries.size)
+  }
+
+  /** Resumable multi-unit job: process only units not yet committed.
+    * Returns the unit ids actually processed this run. A crash between
+    * units loses nothing — completed units are durable in the snapshot
+    * chain, and the rerun converges to the identical final table
+    * (unit outputs are deterministic). */
+  def resumableRun(units: Seq[String])(produce: String => DataFrame): Seq[String] = {
+    val done = committedLineage
+    val todo = units.filterNot(done.contains)
+    todo.foreach(u => append(produce(u), u))
+    todo
+  }
+}

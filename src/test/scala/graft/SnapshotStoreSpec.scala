@@ -1,0 +1,113 @@
+package graft
+
+import graft.data.{Points, Synth}
+import graft.geo.MBR
+import graft.table.SnapshotStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Iceberg-shaped snapshot layout: atomic commits, file pruning from
+  * manifest stats, per-partition lineage + metrics, crash-resume to
+  * bit-identical output (SURVEY.md §7.4/§7.6). */
+class SnapshotStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft_snap").toString
+
+  lazy val pts = Points(spark, "/root/testdata/sf0.001").cache()
+
+  test("append + read round-trips; snapshots are monotonic") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    assert(st.currentSnapshotId == 0)
+    st.append(pts, "unit-0")
+    assert(st.currentSnapshotId == 1)
+    val (df, _, _) = st.read()
+    assert(df.count() == pts.count())
+    val back = df.select("id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val orig = pts.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    assert(back == orig)
+  }
+
+  test("manifest stats prune files for a small box; results stay exact") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts, "unit-0", numPartitions = 16)
+    val box = MBR(10.0, 30.0, 25.0, 60.0)
+    val (df, kept, total) = st.read(Some(box))
+    assert(total == 16)
+    assert(kept < total, s"pruning kept all $total files")
+    val got = df.filter(col("lat").between(box.minLat, box.maxLat) &&
+        col("lon").between(box.minLon, box.maxLon))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val exp = pts.filter(col("lat").between(box.minLat, box.maxLat) &&
+        col("lon").between(box.minLon, box.maxLon))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp)
+  }
+
+  test("lineage + metrics recorded per unit") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts.limit(100), "u-a")
+    st.append(pts.limit(50), "u-b")
+    val m = st.manifest()
+    assert(st.committedLineage == Set("u-a", "u-b"))
+    assert(m.forall(_.wallMs >= 0))
+    assert(m.filter(_.lineageId == "u-a").map(_.rows).sum == 100)
+    assert(m.filter(_.lineageId == "u-b").map(_.rows).sum == 50)
+  }
+
+  test("crash between units + resume converges to the one-shot result") {
+    def produce(u: String) = {
+      val i = u.drop(5).toInt
+      pts.filter(col("id") % 4 === i)
+    }
+    val units = (0 until 4).map(i => s"unit-$i")
+
+    // one-shot reference run
+    val oneShotRoot = tmp()
+    val oneShot = new SnapshotStore(spark, oneShotRoot)
+    assert(oneShot.resumableRun(units)(produce) == units)
+
+    // crashed run: only 2 units complete
+    val root = tmp()
+    val st1 = new SnapshotStore(spark, root)
+    st1.resumableRun(units.take(2))(produce)
+    assert(st1.committedLineage == units.take(2).toSet)
+
+    // resume with a FRESH store instance (new driver), full unit list
+    val st2 = new SnapshotStore(spark, root)
+    val processed = st2.resumableRun(units)(produce)
+    assert(processed == units.drop(2), "resume must skip committed units")
+
+    def dump(s: SnapshotStore) = s.read()._1.select("id", "lat", "lon")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    assert(dump(st2) == dump(oneShot))
+  }
+
+  test("image table through the store: payload intact after cluster+commit") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    val images = Synth.imagePoints(Synth.table(spark, 32, seed = 9L).toDF())
+    st.append(images, "img-0")
+    val (df, _, _) = st.read()
+    val rows = df.select("image_id", "bytes", "phash", "caption").collect()
+    assert(rows.length == 32)
+    for (r <- rows) {
+      val dec = graft.img.Codec.decode(r.getAs[Array[Byte]](1))
+      assert(graft.img.Codec.pHash64(dec) == r.getLong(2))
+      val i = r.getString(0).drop(3).toLong
+      assert(r.getString(3) == Synth.caption(r.getString(0), graft.img.Codec.mix(9L ^ i)))
+    }
+  }
+}
