@@ -10,15 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warmup: absorb JVM/codegen startup so per-query numbers are comparable
+    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // headline: spatial-join + tile-assignment rows/sec over the staged
+    // image table (BASELINE.json metric); rows overridable via
+    // SPARK_GRAFT_BENCH_ROWS
+    val (hRows, hRps) =
+      try {
+        val path = graft.bench.Headline.stage(spark, graft.bench.Headline.defaultRows)
+        graft.bench.Headline.measure(graft.bench.Headline.imagePoints(spark, path))
+      } catch { case _: Throwable => (0L, 0.0) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_rows":$hRows,"headline_rows_per_sec":${"%.1f".format(hRps)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,97 @@
+package graft.bench
+
+import graft.data.{Fixtures, Synth}
+import graft.ops.SpatialOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The BASELINE.json headline: spatial-join + tile-assignment throughput
+  * (rows/sec) over the Iceberg-shaped image+caption table, plus the
+  * N-vs-4N scaling-efficiency protocol (local[8] vs local[32] in this
+  * sandbox, per BASELINE.md).
+  *
+  * Two measurements, one pipeline shape:
+  *  - **image-table throughput**: the staged 2M-row real table (bytes
+  *    included); the timed pass reads ONLY phash (column pruning — the
+  *    bytes never leave the parquet footprint) → tile histogram +
+  *    multi-box join + polygon join.
+  *  - **scaling efficiency**: the same operator pipeline over a
+  *    pure-arithmetic deterministic point cloud at 300M rows (no staging;
+  *    spark.range + codegen arithmetic) — enough real CPU per pass that
+  *    Spark's fixed per-job overhead (~0.3 s) is noise, which is what the
+  *    two-parallelism comparison needs to be meaningful.
+  */
+object Headline {
+
+  def defaultRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
+
+  def scaleRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "300000000").toLong
+
+  /** Generate-once staging (reused across rounds if already present). */
+  def stage(spark: SparkSession, n: Long): String = {
+    val path = s"/root/repo/target/bench_images_n$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Synth.table(spark, n, partitions = 128).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One full pass of the metric pipeline; returns rows processed. */
+  def pass(pts: DataFrame): Long = {
+    val a = SpatialOps.tileHistogram(pts, Fixtures.TileRes)
+      .agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val b = SpatialOps.boxJoin(pts, Fixtures.boxes).count()
+    val c = SpatialOps.pipJoin(pts, Fixtures.polys).count()
+    require(a > 0 && b > 0 && c > 0, s"degenerate pass: $a/$b/$c")
+    a
+  }
+
+  def imagePoints(spark: SparkSession, path: String): DataFrame =
+    Synth.imagePoints(
+        spark.read.parquet(path).select(col("image_id"), col("phash")))
+      .withColumn("id", xxhash64(col("image_id")))
+
+  /** Median-of-iters throughput after one warmup pass. */
+  def measure(pts: DataFrame, iters: Int = 3): (Long, Double) = {
+    pass(pts) // warmup: codegen + page cache
+    val times = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = pass(pts)
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val rows = times.head._1
+    val med = times.map(_._2).sorted.apply(iters / 2)
+    (rows, rows / med)
+  }
+
+  def session(cpus: Int): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName(s"graft-headline-$cpus")
+    .config("spark.sql.shuffle.partitions", cpus.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+}
+
+/** One leg of the N-vs-4N scaling protocol: measure the pipeline at a
+  * single parallelism level in THIS JVM over the deterministic point
+  * cloud. Run each leg in a fresh JVM (tools/scaling.sh) so JIT warmup
+  * and GC state cannot bleed between legs — a single-JVM back-to-back
+  * comparison showed a multi-x ordering bias. */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SCALE_CPUS"))
+      .getOrElse("32").toInt
+    val n = Headline.scaleRows
+    val s = Headline.session(cpus)
+    s.sparkContext.setLogLevel("WARN")
+    val pts = Synth.pointCloud(s, n, partitions = cpus * 8)
+    val (rows, rps) = Headline.measure(pts)
+    s.stop()
+    println(f"""{"metric":"headline_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","cpus":$cpus,"rows":$rows}""")
+  }
+}

@@ -63,4 +63,21 @@ object Synth {
     images.withColumn("lat", GeoCols.geoFromPhashLat(col("phash")))
       .withColumn("lon", GeoCols.geoFromPhashLon(col("phash")))
   }
+
+  /** Pure-arithmetic deterministic point cloud: spark.range + splitmix64
+    * Column expressions — no storage, no JVM lambdas, fully codegen'd.
+    * Same derivation shape as geoFromPhash (the id hash stands in for the
+    * phash). Used to exercise the spatial pipeline at row counts far past
+    * what ImageIO generation can stage (the scaling-efficiency input). */
+  def pointCloud(spark: SparkSession, n: Long, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism * 4
+    spark.range(0, n, 1, parts)
+      .withColumn("__h", xxhash64(col("id"))) // wrap-free 64-bit id hash
+
+      .select(col("id"),
+        graft.geo.GeoCols.geoFromPhashLat(col("__h")).as("lat"),
+        graft.geo.GeoCols.geoFromPhashLon(col("__h")).as("lon"))
+  }
 }

@@ -13,21 +13,26 @@ object Codec {
   // BufferedImage raster ops are headless-safe, but be explicit:
   System.setProperty("java.awt.headless", "true")
 
-  /** Deterministic procedural RGB raster: smooth gradient + hash noise,
-    * fully determined by (seed, w, h). */
+  /** Deterministic procedural RGB raster, fully determined by (seed, w, h):
+    * a per-image random 8×8 bright/dark zone pattern (structure at exactly
+    * the average-hash scale, so pHash64 recovers ~the 64 pattern bits →
+    * high-entropy fingerprints and globally-spread derived points), plus a
+    * mild gradient and low-amplitude noise (±4 — keeps JPEG re-encode above
+    * the 40 dB PSNR invariant). */
   def raster(seed: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val zoneBits = mix(seed ^ 0x5EED5EEDL)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        // low-amplitude noise (±4): keeps JPEG re-encode above the 40 dB
-        // PSNR invariant while still making every raster unique
+        val zone = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+        val base = if (((zoneBits >>> zone) & 1L) == 1L) 170 else 80
         val n = mix(seed ^ (x.toLong << 32) ^ y.toLong)
-        val r = ((x * 255) / math.max(1, w - 1) + ((n & 0x7) - 4)).max(0).min(255)
-        val g = ((y * 255) / math.max(1, h - 1) + (((n >>> 8) & 0x7) - 4)).max(0).min(255)
-        val b = ((((x + y) * 255) / math.max(1, w + h - 2)) + (((n >>> 16) & 0x7) - 4)).max(0).min(255)
-        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        val r = (base + (x * 40) / math.max(1, w - 1) + ((n & 0x7) - 4).toInt).max(0).min(255)
+        val g = (base + (y * 40) / math.max(1, h - 1) + (((n >>> 8) & 0x7) - 4).toInt).max(0).min(255)
+        val b = (base + ((x + y) * 20) / math.max(1, w + h - 2) + (((n >>> 16) & 0x7) - 4).toInt).max(0).min(255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
       y += 1
@@ -49,7 +54,7 @@ object Codec {
     out.toByteArray
   }
 
-  def encodeJpeg(img: BufferedImage, quality: Float = 0.95f): Array[Byte] = {
+  def encodeJpeg(img: BufferedImage, quality: Float = 0.98f): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)

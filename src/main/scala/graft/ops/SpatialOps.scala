@@ -171,6 +171,44 @@ object SpatialOps {
     }.reduce(_ unionAll _)
   }
 
+  /** Skew-aware box join for shuffle-partitioned execution: when the small
+    * side does NOT fit in a broadcast (huge box/polygon sets), the join
+    * shuffles both sides on the cell key and hot cells (a Zipf point cloud,
+    * or the planted-hotspot image table) overload single reducers. This
+    * variant measures the cell histogram, picks cells holding more than
+    * `hotThreshold` of the rows, and salts them: the point side gets a
+    * deterministic salt in [0, saltFactor) (xxhash64(id) — reproducible),
+    * the box side replicates hot-cell entries across all salts. Cold cells
+    * keep salt 0 — no blowup. Output is identical to [[boxJoin]] (proven in
+    * spec); AQE's skew-join split handles residual imbalance.
+    */
+  def boxJoinSalted(points: DataFrame, boxes: Seq[(Int, MBR)],
+                    r: Int = Fixtures.JoinRes, saltFactor: Int = 8,
+                    hotThreshold: Double = 0.05): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = withCell(points, r)
+    val total = pts.count()
+    val hotCells = pts.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > (total * hotThreshold).toLong)
+      .collect().map(_.getLong(0)).toSet
+    val cells = boxes.flatMap { case (bid, b) =>
+      CellId.cover(b, r).flatMap { c =>
+        val salts = if (hotCells.contains(c)) 0 until saltFactor else Seq(0)
+        salts.map(s => (bid, c, s, b.minLat, b.minLon, b.maxLat, b.maxLon))
+      }
+    }.toDF("box_id", "bcell", "bsalt", "minlat", "minlon", "maxlat", "maxlon")
+    val salted = pts.withColumn("salt",
+      when(col("cell").isInCollection(hotCells.toSeq.take(1000)),
+        pmod(xxhash64(col("id")), lit(saltFactor)).cast("int"))
+        .otherwise(lit(0)))
+    salted.join(cells,
+        col("cell") === col("bcell") && col("salt") === col("bsalt"))
+      .filter(col("lat") >= col("minlat") && col("lat") <= col("maxlat") &&
+              col("lon") >= col("minlon") && col("lon") <= col("maxlon"))
+      .select(col("box_id"), col("id"))
+  }
+
   /** kNN join (op #10 batched): small query set broadcast against the point
     * cloud; per-query top-k via window. The cross join is map-side only
     * (broadcast nested loop); the window shuffles |Q|·N candidate rows —

@@ -1,0 +1,79 @@
+package graft
+
+import graft.data.{Fixtures, Points, Synth}
+import graft.ops.SpatialOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the physical plans the scale story depends on.
+  * These pin the *mechanism*, not just the result — a regression that
+  * swaps a broadcast for a shuffle or un-pushes a filter fails here even
+  * though results stay correct. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("boxJoin broadcasts the box side (no shuffle on the probe side)") {
+    val p = plan(SpatialOps.boxJoin(Points(spark, dir), Fixtures.boxes))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "box join must not sort-merge")
+  }
+
+  test("pipJoin is a union of filters: no join, no exchange") {
+    val p = plan(SpatialOps.pipJoin(Points(spark, dir), Fixtures.polys))
+    assert(!p.toLowerCase.contains("join"), "PIP with literal polygons must be pure filters")
+    assert(!p.contains("Exchange"), "PIP must not shuffle")
+  }
+
+  test("tileAssign is shuffle-free; histogram has exactly one exchange") {
+    val pa = plan(SpatialOps.tileAssign(Points(spark, dir)))
+    assert(!pa.contains("Exchange"), "tile assignment must not shuffle")
+    val ph = plan(SpatialOps.tileHistogram(Points(spark, dir)))
+    assert(ph.split("Exchange").length - 1 == 1, "histogram = partial agg + ONE exchange + final agg")
+    assert(ph.contains("partial_count") || ph.contains("HashAggregate"), ph.take(300))
+  }
+
+  test("id-filter pushes to the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") === 42L).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"), p)
+  }
+
+  test("image pipeline prunes the bytes column at the scan") {
+    val images = Synth.table(spark, 8).toDF()
+    val path = java.nio.file.Files.createTempDirectory("plan_img").toString + "/t"
+    images.write.parquet(path)
+    val pts = Synth.imagePoints(
+      spark.read.parquet(path).select(col("image_id"), col("phash")))
+      .withColumn("id", xxhash64(col("image_id")))
+    val p = plan(SpatialOps.tileHistogram(pts, Fixtures.TileRes))
+    assert(p.contains("ReadSchema") && !p.contains("bytes"),
+      "bytes must never reach the tile pipeline's scan:\n" + p.take(800))
+  }
+
+  test("knnSerial plans TakeOrderedAndProject (per-partition top-k + merge)") {
+    val df = Points(spark, dir)
+      .withColumn("d2", graft.geo.GeoCols.d2(col("lat"), col("lon"), 1.0, 2.0))
+      .orderBy(col("d2"), col("id")).limit(25)
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df).take(400))
+  }
+
+  test("whole-stage codegen covers the spatial predicates") {
+    // "*(n)" is the WholeStageCodegen stage marker in the compact plan form
+    val p = plan(SpatialOps.rangeBox(Points(spark, dir), Fixtures.boxes.head._2))
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      "spatial filter fell out of codegen")
+    assert(p.contains("*(1) Filter"), "the box predicate must be inside the codegen stage")
+  }
+}

@@ -90,6 +90,26 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(exp.exists(_._1 == Fixtures.polyConcave._1), "concave poly matched no points")
   }
 
+  test("boxJoinSalted == boxJoin on a skewed (hotspot) cloud") {
+    import org.apache.spark.sql.functions._
+    val skewed = graft.data.Synth.imagePoints(
+        graft.data.Synth.table(spark, 600, seed = 42L, hotspotFrac = 0.4).toDF())
+      .withColumn("id", xxhash64(col("image_id")))
+      .select("id", "lat", "lon").cache()
+    // box set includes the hot cell's box: derive it from the hot phash point
+    val hot = skewed.groupBy(graft.geo.GeoCols.cellCol(col("lat"), col("lon"),
+        Fixtures.JoinRes).as("c")).count().orderBy(desc("count")).collect()(0)
+    val hotMbr = graft.geo.CellId.mbr(hot.getLong(0), Fixtures.JoinRes)
+    val boxes = Fixtures.boxes :+ (99 -> hotMbr)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(t => t).toSeq
+    val plain = norm(SpatialOps.boxJoin(skewed, boxes))
+    val salted = norm(SpatialOps.boxJoinSalted(skewed, boxes, saltFactor = 4,
+      hotThreshold = 0.05))
+    assert(salted == plain)
+    assert(plain.count(_._1 == 99) >= 200, "hot box should match the hotspot mass")
+  }
+
   test("knnJoin == per-query in-memory top-k") {
     val got = SpatialOps.knnJoin(pts, Fixtures.knnQueries, Fixtures.knnJoinK)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
