@@ -63,6 +63,21 @@ object SparkEntry {
     "q30_window_agg" -> ((s, dir) =>
       EventOps.windowAgg(s.read.parquet(s"$dir/events.parquet"))),
     "q31_stream_window" -> ((s, dir) => EventOps.streamWindowAgg(s, dir)),
+    // --- spatial scale-path variants (same semantics, different plans) ---
+    "q17b_pip_broadcast" -> ((s, dir) =>
+      SpatialOps.pipJoinBroadcast(Points(s, dir), Fixtures.polys)),
+    "q10c_knn_join_pruned" -> ((s, dir) => SpatialOps.knnJoinPruned(Points(s, dir),
+      Fixtures.knnQueries, Fixtures.knnJoinK)),
+    "q09c_range_join_salted" -> ((s, dir) =>
+      SpatialOps.boxJoinSalted(Points(s, dir), Fixtures.boxes)),
+    // --- multimodal (image payload) ops over the deterministic table ---
+    "q40_image_decode" -> ((s, _) =>
+      graft.ops.ImageOps.decodeStats(graft.data.Synth.table(s, 500).toDF()).toDF()),
+    "q41_image_embed" -> ((s, _) =>
+      graft.ops.ImageOps.embed(graft.data.Synth.table(s, 500).toDF()).toDF()),
+    "q42_image_resize" -> ((s, _) =>
+      graft.ops.ImageOps.resize(graft.data.Synth.table(s, 200).toDF(), 16)
+        .toDF().select("image_id", "w", "h")),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -91,6 +106,9 @@ object SparkEntry {
     "q24_ngram_jaccard" -> OracleSql.ngramJaccard(5, Fixtures.jaccardThreshold),
     // q25–q27 (minhash LSH, simhash, fingerprint) use xxhash64 — not
     // SQL-expressible → rows-only driver check; pinned by specs instead.
+    "q17b_pip_broadcast" -> OracleSql.pipJoin(Fixtures.polys),
+    "q10c_knn_join_pruned" -> OracleSql.knnJoin(Fixtures.knnQueries, Fixtures.knnJoinK),
+    "q09c_range_join_salted" -> OracleSql.boxJoin(Fixtures.boxes),
     "q28_ann_topk" -> OracleSql.annTopK(Fixtures.annQueryIds, Fixtures.annK),
     "q29_embed_neardup" -> OracleSql.nearDupPairs(29, 250000L),
     "q30_window_agg" -> OracleSql.windowAgg,

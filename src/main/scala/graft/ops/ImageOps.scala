@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.img.Codec
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: the image payload (`bytes: binary`) is
+  * opaque to Catalyst; decode / feature-extract / resize run partition-wise
+  * over typed Datasets (the JVM analog of mapInPandas batches — one
+  * executor-side pass per partition, no driver round-trips, Encoders keep
+  * the exchange format Tungsten-binary).
+  *
+  * Decode here is REAL (JDK ImageIO — in-container, deterministic), not a
+  * stub: the invariant tests (PSNR, phash recomputation) lean on it.
+  * The Spark-side contract that matters at 100 TB is visible in the plan:
+  * `bytes` is read ONLY by these operators (column pruning elsewhere), and
+  * each output row carries compact derived features, never the raw payload.
+  */
+object ImageOps {
+
+  case class DecodeStats(image_id: String, w: Int, h: Int, fmt: String,
+                         mean_lum: Double, phash: Long, ok: Boolean)
+
+  /** Decode + per-image statistics (the feature-extract step). */
+  def decodeStats(images: DataFrame): Dataset[DecodeStats] = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes", "fmt")
+      .as[(String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        try {
+          val img = Codec.decode(bytes)
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += 0.299 * ((p >>> 16) & 0xFF) + 0.587 * ((p >>> 8) & 0xFF) +
+                0.114 * (p & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          DecodeStats(id, img.getWidth, img.getHeight, fmt,
+            sum / (img.getWidth * img.getHeight), Codec.pHash64(img), ok = true)
+        } catch {
+          case _: Throwable => DecodeStats(id, -1, -1, fmt, 0.0, 0L, ok = false)
+        }
+      })
+  }
+
+  case class Embedded(image_id: String, embedding: Array[Float])
+
+  /** 64-dim visual embedding: the 8×8 grayscale box-downsample, zero-mean
+    * normalized — deterministic, ties the multimodal column into the ANN
+    * operators (AnnOps takes exactly this shape). */
+  def embed(images: DataFrame): Dataset[Embedded] = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = Codec.decode(bytes)
+        val cells = new Array[Double](64)
+        val counts = new Array[Int](64)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            val c = math.min(7, y * 8 / img.getHeight) * 8 +
+              math.min(7, x * 8 / img.getWidth)
+            cells(c) += 0.299 * ((p >>> 16) & 0xFF) + 0.587 * ((p >>> 8) & 0xFF) +
+              0.114 * (p & 0xFF)
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var mean = 0.0
+        var i = 0
+        while (i < 64) { cells(i) /= math.max(1, counts(i)); mean += cells(i); i += 1 }
+        mean /= 64
+        Embedded(id, cells.map(v => (v - mean).toFloat))
+      })
+  }
+
+  case class Resized(image_id: String, bytes: Array[Byte], w: Int, h: Int)
+
+  /** Resize to a bounding square, re-encode PNG (lossless so downstream
+    * invariants survive). Nearest-neighbor via AWT scaled instance drawn
+    * onto a fresh raster — headless-safe. */
+  def resize(images: DataFrame, maxSide: Int): Dataset[Resized] = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = Codec.decode(bytes)
+        val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+        val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        g.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING),
+          0, 0, null)
+        g.dispose()
+        Resized(id, Codec.encodePng(out), nw, nh)
+      })
+  }
+}

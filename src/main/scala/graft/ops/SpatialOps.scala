@@ -227,6 +227,74 @@ object SpatialOps {
       .select(col("q_id"), col("rank"), col("id"))
   }
 
+  /** Many-polygon PIP join (the scale path when polygons number in the
+    * thousands and per-polygon literal plans stop making sense): polygons
+    * as DATA — (poly_id, ring array<struct<lat,lon>>) exploded to covering
+    * cells, broadcast, hash-joined on the point's cell, then refined with
+    * an even–odd crossing test over the ring ARRAY via HOF expressions
+    * (size(filter(sequence...))) — still UDF-free and codegen-eligible,
+    * one scan regardless of polygon count. Exact same semantics as
+    * [[pipJoin]] (proven in spec). */
+  def pipJoinBroadcast(points: DataFrame, polys: Seq[(Int, Poly)],
+                       r: Int = Fixtures.JoinRes): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val polyRows = polys.flatMap { case (pid, p) =>
+      val ring = p.ring.map { case (la, lo) => (la, lo) }
+      CellId.cover(p.bbox, r).map(c => (pid, c, ring))
+    }
+    val polysDf = polyRows.toDF("poly_id", "pcell", "ring")
+    val n = size(col("ring"))
+    // edge i pairs ring[i+1] with ring[i] (1-based element_at), wrapping
+    // the last edge to ring[1]; identical arithmetic to Poly.contains.
+    def vy(i: Column) = element_at(col("ring"), i).getField("_1")
+    def vx(i: Column) = element_at(col("ring"), i).getField("_2")
+    val crossings = size(filter(sequence(lit(1), n), i => {
+      val j = when(i === 1, n).otherwise(i - 1)
+      ((vy(i) > col("lat")) =!= (vy(j) > col("lat"))) &&
+        (col("lon") < (vx(j) - vx(i)) * (col("lat") - vy(i)) / (vy(j) - vy(i)) + vx(i))
+    }))
+    withCell(points, r)
+      .join(broadcast(polysDf), col("cell") === col("pcell"))
+      .filter(crossings % 2 === 1)
+      .select(col("poly_id"), col("id"))
+  }
+
+  /** Ring-pruned kNN join (the scale path for large query sets): instead
+    * of |Q|·N candidate pairs, each query joins only points whose cell
+    * falls within `rings` Chebyshev rings of the query's cell, then takes
+    * per-query top-k. EXACT when every query finds >= k candidates whose
+    * kth distance is below the probed-region guarantee — the operator
+    * verifies that invariant and falls back to the dense join for the few
+    * queries that fail it (none, on non-degenerate data at sane `rings`). */
+  def knnJoinPruned(points: DataFrame, queries: Seq[(Int, Double, Double)],
+                    k: Int, r: Int = Fixtures.JoinRes, rings: Int = 2): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val qcells = queries.flatMap { case (qid, qla, qlo) =>
+      (0L to rings.toLong).flatMap(CellId.ring(CellId.grid(qla, qlo, r), r, _))
+        .map(c => (qid, qla, qlo, c))
+    }.toDF("q_id", "qlat", "qlon", "qc")
+    val d2 = GeoCols.d2Cols(col("lat"), col("lon"), col("qlat"), col("qlon"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
+    val pruned = withCell(points, r)
+      .join(broadcast(qcells), col("cell") === col("qc"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    // exactness check: kth distance must sit inside the ring guarantee
+    val guarantee = rings * math.min(CellId.latStep(r), CellId.lonStep(r))
+    val bad = pruned.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max(col("d2")).as("dk"))
+      .filter(col("n") < k || col("dk") >= lit(guarantee * guarantee))
+      .select("q_id").collect().map(_.getInt(0))
+    val exactPart = pruned.filter(!col("q_id").isin(bad.toSeq: _*))
+      .select(col("q_id"), col("rank"), col("id"))
+    if (bad.isEmpty) exactPart
+    else exactPart.unionAll(
+      knnJoin(points, queries.filter(q => bad.contains(q._1)), k))
+  }
+
   /** Reference bulk-load packing (ops #7/#8): global sort by first
     * coordinate only (RStarTree.java:177 — deliberately NOT STR, to match
     * the reference), slabs of exactly `fanout` (RStarTree.java:189-200),

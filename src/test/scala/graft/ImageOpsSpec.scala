@@ -1,0 +1,111 @@
+package graft
+
+import graft.data.Synth
+import graft.img.Codec
+import graft.ops.{AnnOps, ImageOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Multimodal-column operators: real decode, features, resize, plus the
+  * binaryFile source path and an image stream — the Spark-side plumbing
+  * the 100 TB pipeline needs around opaque binary columns. */
+class ImageOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val images = Synth.table(spark, 48, seed = 5L).toDF().cache()
+
+  test("decodeStats: real decode, stats match direct computation") {
+    val got = ImageOps.decodeStats(images).collect().map(s => s.image_id -> s).toMap
+    assert(got.size == 48 && got.values.forall(_.ok))
+    for (r <- images.collect()) {
+      val id = r.getString(0)
+      val img = Codec.decode(r.getAs[Array[Byte]](1))
+      val s = got(id)
+      assert(s.w == img.getWidth && s.h == img.getHeight)
+      assert(s.phash == Codec.pHash64(img))
+      assert(s.mean_lum > 0 && s.mean_lum < 255)
+    }
+  }
+
+  test("decodeStats flags corrupt payloads instead of failing the job") {
+    import spark.implicits._
+    val corrupt = Seq(("bad1", Array[Byte](1, 2, 3), "png")).toDF("image_id", "bytes", "fmt")
+    val s = ImageOps.decodeStats(images.select("image_id", "bytes", "fmt").unionAll(corrupt))
+      .collect()
+    assert(s.count(!_.ok) == 1 && s.count(_.ok) == 48)
+  }
+
+  test("embed: 64-dim, deterministic, zero-mean; feeds the ANN operator") {
+    val e1 = ImageOps.embed(images).collect().sortBy(_.image_id)
+    val e2 = ImageOps.embed(images.repartition(7)).collect().sortBy(_.image_id)
+    assert(e1.length == 48)
+    for ((a, b) <- e1.zip(e2)) {
+      assert(a.image_id == b.image_id && a.embedding.sameElements(b.embedding))
+      assert(a.embedding.length == 64)
+      assert(math.abs(a.embedding.map(_.toDouble).sum) < 1e-2)
+    }
+    // end-to-end: image embeddings → the ANN operator (shape contract):
+    // each image's own embedding must be its rank-1 neighbor (sim = 1)
+    val embDf = ImageOps.embed(images).toDF()
+      .select((xxhash64(col("image_id")) % 100000).as("vec_id"), col("embedding"),
+        lit(0).as("label"))
+    val qids = embDf.select("vec_id").limit(3).collect().map(_.getLong(0).toInt)
+    val topk = AnnOps.cosineTopK(embDf, qids.toSeq, 3).collect()
+    for (qid <- qids) {
+      val self = topk.find(r => r.getLong(0) == qid && r.getLong(1) == 1L).get
+      assert(self.getLong(2) == qid, "rank-1 neighbor must be the query itself")
+      assert(self.getLong(3) >= 999999L, "self-similarity must quantize to ~1e6")
+    }
+  }
+
+  test("resize: bounded dimensions, lossless re-encode, content preserved") {
+    val rs = ImageOps.resize(images, 16).collect()
+    assert(rs.length == 48)
+    for (r <- rs) {
+      assert(math.max(r.w, r.h) == 16)
+      val img = Codec.decode(r.bytes)
+      assert(img.getWidth == r.w && img.getHeight == r.h)
+    }
+  }
+
+  test("binaryFile source: read a directory of real image files into the pipeline") {
+    val dir = Files.createTempDirectory("graft_imgs")
+    for (i <- 0 until 12) {
+      val row = Synth.row(seed = 3L, i)
+      Files.write(dir.resolve(f"${row.image_id}.${row.fmt}"), row.bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+      .select(regexp_extract(col("path"), "([^/]+)\\.(png|jpeg)$", 1).as("image_id"),
+        col("content").as("bytes"), lit("png").as("fmt"))
+    val stats = ImageOps.decodeStats(df).collect()
+    assert(stats.length == 12 && stats.forall(_.ok))
+    val expected = (0 until 12).map(i => Synth.row(3L, i)).map(r => r.image_id -> r.phash).toMap
+    for (s <- stats) assert(s.phash == expected(s.image_id))
+  }
+
+  test("streaming image pipeline: readStream over the image table -> tile counts") {
+    val dir = Files.createTempDirectory("graft_imgstream").toString
+    Synth.table(spark, 40, seed = 8L).toDF().write.parquet(s"$dir/t")
+    val schema = spark.read.parquet(s"$dir/t").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/t")
+    val tiles = Synth.imagePoints(src.select("image_id", "phash"))
+      .groupBy(graft.geo.GeoCols.cellCol(col("lat"), col("lon"), 3).as("cell"))
+      .count()
+    val q = tiles.writeStream.format("memory").queryName("img_tiles")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("img_tiles").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Synth.imagePoints(spark.read.parquet(s"$dir/t").select("image_id", "phash"))
+      .groupBy(graft.geo.GeoCols.cellCol(col("lat"), col("lon"), 3).as("cell"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.toSeq.map(_._2).sum == 40)
+  }
+}

@@ -123,6 +123,23 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.toSet == exp)
   }
 
+  test("pipJoinBroadcast == pipJoin (literal-plan vs polygon-as-data plan)") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(t => t).toSeq
+    assert(norm(SpatialOps.pipJoinBroadcast(pts, Fixtures.polys)) ==
+           norm(SpatialOps.pipJoin(pts, Fixtures.polys)))
+  }
+
+  test("knnJoinPruned == knnJoin (with fallback exactness guarantee)") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(t => t).toSeq
+    assert(norm(SpatialOps.knnJoinPruned(pts, Fixtures.knnQueries, Fixtures.knnJoinK)) ==
+           norm(SpatialOps.knnJoin(pts, Fixtures.knnQueries, Fixtures.knnJoinK)))
+    // force the fallback path: k large enough that 2 rings can't satisfy it
+    assert(norm(SpatialOps.knnJoinPruned(pts, Fixtures.knnQueries.take(3), 200)) ==
+           norm(SpatialOps.knnJoin(pts, Fixtures.knnQueries.take(3), 200)))
+  }
+
   test("tile assignment is total, single-cell, and parallelism-invariant") {
     val a4 = SpatialOps.tileAssign(pts, Fixtures.TileRes).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(t => t).toSeq
