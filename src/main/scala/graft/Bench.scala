@@ -29,7 +29,15 @@ object Bench {
         val path = graft.bench.Headline.stage(spark, graft.bench.Headline.defaultRows)
         graft.bench.Headline.measure(graft.bench.Headline.imagePoints(spark, path))
       } catch { case _: Throwable => (0L, 0.0) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_rows":$hRows,"headline_rows_per_sec":${"%.1f".format(hRps)}}""")
+    // storage-free scale measurement: the same pipeline over a 200M-row
+    // deterministic point cloud (operator throughput with the scheduler
+    // floor amortized; the N-vs-4N efficiency protocol is tools/scaling.sh)
+    val (sRows, sRps) =
+      try {
+        val pts = graft.data.Synth.pointCloud(spark, 200000000L)
+        graft.bench.Headline.measure(pts)
+      } catch { case _: Throwable => (0L, 0.0) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)}}""")
     spark.stop()
   }
 }

@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
 object Headline {
 
   def defaultRows: Long =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toLong
 
   def scaleRows: Long =
     sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "300000000").toLong
 
-  /** Generate-once staging (reused across rounds if already present). */
+  /** Generate-once staging (reused across rounds if already present).
+    * Lives under /tmp (not target/) so sbt clean can't force a costly
+    * regeneration; regenerating 400k rows costs ~2 min worst-case. */
   def stage(spark: SparkSession, n: Long): String = {
-    val path = s"/root/repo/target/bench_images_n$n"
+    val path = s"/tmp/graft_bench_images_n$n"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       Synth.table(spark, n, partitions = 128).toDF()
         .write.mode("overwrite").parquet(path)

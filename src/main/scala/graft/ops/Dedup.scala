@@ -28,9 +28,20 @@ object Dedup {
     * high-cardinality), count intersections, compute |A∩B| / |A∪B|.
     */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    // shingling as a typed kernel (identical strings to the SQL twin's
+    // list_transform: k-token windows joined by single spaces, first-
+    // occurrence-distinct), persisted because the inverted-index self-join
+    // and the two count joins would otherwise recompute it 4x
     val base = docs
-      .filter(size(TextOps.tokens(col("text"))) >= k)
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        if (toks.length < k) Iterator.empty
+        else Iterator.single((id, toks.sliding(k).map(_.mkString(" ")).toVector.distinct))
+      })
+      .toDF("doc_id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
     val cnts = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -45,12 +56,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), col("jacc"))
   }
 
-  /** MinHash signature: numHashes mins of xxhash64(shingle, seed). The hash
-    * family is xxhash64 over (shingle, seed) pairs — one pass over the
-    * shingle array per row, all HOF expressions. */
-  private def minhashSig(sh: org.apache.spark.sql.Column, numHashes: Int) =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+  /** Stable 64-bit string hash (splitmix64 over a 31-polynomial prefix) —
+    * plain JVM arithmetic, deterministic across runs and partitions. */
+  def hash64(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    graft.img.Codec.mix(h)
+  }
+
+  /** MinHash signature kernel: hash each shingle once, then derive the
+    * numHashes family members by seed-mixing the 64-bit value (splitmix of
+    * h ^ seedConst). Runs as a typed mapPartitions loop: Catalyst's
+    * higher-order functions execute interpreted (~3 µs per lambda call),
+    * which measured 35 ms/doc for 32×|shingles| evals — the per-partition
+    * kernel is ~1000× cheaper and this op needs no SQL-oracle parity. */
+  private def withSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val seeds = (0 until numHashes).map(s => graft.img.Codec.mix(0xC0FFEEL + s)).toArray
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        if (toks.length < k) Iterator.empty
+        else Iterator.single((id,
+          toks.sliding(k).map(_.mkString(" ")).toVector.distinct))
+      })
+      .map { case (id, sh) =>
+        val hs = sh.map(hash64).toArray
+        val sig = seeds.map { seed =>
+          var m = Long.MaxValue
+          var i = 0
+          while (i < hs.length) {
+            val v = graft.img.Codec.mix(hs(i) ^ seed)
+            if (v < m) m = v
+            i += 1
+          }
+          m
+        }
+        (id, sh, sig)
+      }
+      .toDF("doc_id", "sh", "sig")
+  }
 
   /** MinHash + LSH banding near-dup detection (the 100 TB dedup path):
     * signature → `bands` band-hashes → explode → group by (band, hash) →
@@ -62,11 +110,15 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val base = docs
-      .filter(size(TextOps.tokens(col("text"))) >= k)
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
-    val sig = base.withColumn("sig", minhashSig(col("sh"), numHashes))
-    val banded = sig.select(col("doc_id"),
+    // Persist the signature stage: without a materialization barrier the
+    // signature kernel would rerun for every band projection and both
+    // sides of the candidate self-join (CollapseProject inlining measured
+    // at ~20× recompute before the barrier + kernel fix: 312 s → ~2 s on
+    // 5k docs). At warehouse scale this stage is a checkpoint into the
+    // snapshot store; here MEMORY_AND_DISK is the same barrier.
+    val base = withSignatures(docs, k, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
@@ -85,19 +137,29 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
-  /** 64-bit SimHash over token xxhash64 values: per bit, sum ±1 across
-    * tokens (with multiplicity), set bit if positive. Bit loop statically
-    * unrolled (shift amounts are compile-time); token loop is an HOF
-    * aggregate — one pass per bit over the hash array, all codegen'd. */
+  /** 64-bit SimHash over token hashes: per bit, sum ±1 across tokens
+    * (with multiplicity), set bit if positive. Typed kernel (the 64-bit ×
+    * |tokens| loop is interpreter-hostile as Column HOFs — same finding as
+    * the MinHash signature); deterministic [[hash64]] token hashing. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val hashes = transform(toks, t => xxhash64(t))
-    val sim = (0 until 64).map { b =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (s, h) => s + shiftrightunsigned(h, b).bitwiseAND(lit(1L)) * 2 - 1)
-      shiftleft(when(bitSum > 0, lit(1L)).otherwise(lit(0L)), b)
-    }.reduce(_ bitwiseOR _)
-    docs.select(col("doc_id"), sim.as("simhash"))
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val counts = new Array[Int](64)
+        for (t <- text.split(" ")) {
+          val h = hash64(t)
+          var b = 0
+          while (b < 64) {
+            counts(b) += (((h >>> b) & 1L).toInt * 2) - 1
+            b += 1
+          }
+        }
+        var sim = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+        (id, sim)
+      })
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs: block on 16-bit quarters (a pair within
@@ -105,6 +167,7 @@ object Dedup {
     * with bit_count(xor) <= maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
