@@ -34,7 +34,7 @@ object Bench {
     // floor amortized; the N-vs-4N efficiency protocol is tools/scaling.sh)
     val (sRows, sRps) =
       try {
-        val pts = graft.data.Synth.pointCloud(spark, 200000000L)
+        val pts = graft.data.Synth.pointCloud(spark, 100000000L)
         graft.bench.Headline.measure(pts)
       } catch { case _: Throwable => (0L, 0.0) }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)}}""")
