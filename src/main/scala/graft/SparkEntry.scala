@@ -35,7 +35,7 @@ object SparkEntry {
     "q09b_range_join" -> ((s, dir) => SpatialOps.boxJoin(Points(s, dir), Fixtures.boxes)),
     "q10_knn_ring" -> ((s, dir) => SpatialOps.knnRing(Points(s, dir),
       Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)),
-    "q10b_knn_join" -> ((s, dir) => SpatialOps.knnJoin(Points(s, dir),
+    "q10b_knn_join" -> ((s, dir) => SpatialOps.knnJoinAgg(Points(s, dir),
       Fixtures.knnQueries, Fixtures.knnJoinK)),
     "q11_skyline" -> ((s, dir) => SpatialOps.skyline(Points(s, dir))),
     "q12_range_serial" -> ((s, dir) => SpatialOps.rangeBoxSerial(Points(s, dir), Fixtures.boxes.head._2)),

@@ -130,6 +130,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("watermark drops late rows across micro-batches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.map { case (id, et, epochSec) =>
+        (id, new Timestamp(epochSec * 1000L), 1L, et, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val base = 1700000000L // fixed epoch, hour-aligned windows below
+    write("b1", Seq((1, "a", base), (2, "a", base + 10 * 3600))) // max ts = base+10h
+
+    val name = "graft_late_sink"
+    val src = spark.readStream.schema(graft.ops.EventOps.eventsSchema).parquet(dir)
+    val agg = src.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("hr"), col("event_type"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable() // watermark advances to base+8h; window(base) emitted
+      // batch 2: one in-time row and one LATE row (3h before the watermark)
+      write("b2", Seq((3, "a", base + 9 * 3600), (4, "LATE", base + 5 * 3600)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hour0 = base - base % 3600 // tumbling windows are hour-aligned
+    assert(out.contains((hour0, "a", 1L)), s"on-time window missing: ${out.toSeq}")
+    assert(!out.exists(_._2 == "LATE"), s"late row must be dropped: ${out.toSeq}")
+  }
+
   test("watermarked streaming window: emits exactly the watermark-finalized windows") {
     val got = EventOps.streamWindowAggWatermarked(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet

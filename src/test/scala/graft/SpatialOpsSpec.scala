@@ -130,6 +130,16 @@ class SpatialOpsSpec extends AnyFunSuite {
            norm(SpatialOps.pipJoin(pts, Fixtures.polys)))
   }
 
+  test("knnJoinAgg (bounded-heap partial top-k) == knnJoin") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(t => t).toSeq
+    assert(norm(SpatialOps.knnJoinAgg(pts, Fixtures.knnQueries, Fixtures.knnJoinK)) ==
+           norm(SpatialOps.knnJoin(pts, Fixtures.knnQueries, Fixtures.knnJoinK)))
+    // k larger than some partitions' candidate counts (buffer underfill path)
+    assert(norm(SpatialOps.knnJoinAgg(pts, Fixtures.knnQueries.take(2), 137)) ==
+           norm(SpatialOps.knnJoin(pts, Fixtures.knnQueries.take(2), 137)))
+  }
+
   test("knnJoinPruned == knnJoin (with fallback exactness guarantee)") {
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(t => t).toSeq
