@@ -41,6 +41,8 @@ object SparkEntry {
     "q12_range_serial" -> ((s, dir) => SpatialOps.rangeBoxSerial(Points(s, dir), Fixtures.boxes.head._2)),
     "q13_knn_serial" -> ((s, dir) => SpatialOps.knnSerial(Points(s, dir),
       Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)),
+    "q14_radius_sweep" -> ((s, dir) => SpatialOps.radiusSweep(Points(s, dir),
+      Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.sweepRadii)),
     "q15_tile_assign" -> ((s, dir) => SpatialOps.tileAssign(Points(s, dir))),
     "q16_tile_histogram" -> ((s, dir) => SpatialOps.tileHistogram(Points(s, dir))),
     "q17_pip_join" -> ((s, dir) => SpatialOps.pipJoin(Points(s, dir), Fixtures.polys)),
@@ -96,6 +98,8 @@ object SparkEntry {
     "q11_skyline" -> OracleSql.skyline,
     "q12_range_serial" -> OracleSql.rangeBox(Fixtures.boxes.head._2),
     "q13_knn_serial" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
+    "q14_radius_sweep" -> OracleSql.radiusSweep(Fixtures.knnPoint._1,
+      Fixtures.knnPoint._2, Fixtures.sweepRadii),
     "q15_tile_assign" -> OracleSql.tileAssign(Fixtures.TileRes),
     "q16_tile_histogram" -> OracleSql.tileHistogram(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),

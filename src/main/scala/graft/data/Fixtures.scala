@@ -50,6 +50,10 @@ object Fixtures {
       (i, lat, lon)
     }
 
+  /** Radius sweep (Benchmark.java:126 R ∈ {0.002..0.1} scaled to the
+    * global cloud) around the kNN fixture point. */
+  val sweepRadii: Seq[Double] = Seq(0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
+
   /** Convex pentagon (CCW) — PIP via half-planes or ray-crossing. */
   val polyConvex: (Int, Poly) = 1 -> Poly(Vector(
     (0.0, 0.0), (10.0, 40.0), (35.0, 45.0), (50.0, 15.0), (30.0, -20.0)))

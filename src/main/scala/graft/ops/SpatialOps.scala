@@ -114,6 +114,20 @@ object SpatialOps {
       .select(col("rank"), col("id"), col("lat"), col("lon"), col("d2"))
   }
 
+  /** Radius sweep (Benchmark.java:126-154 as a query): counts of points
+    * inside square boxes of growing half-width around a center — ONE scan,
+    * conditional aggregates (the reference re-scans per radius × 100 reps).
+    * Output: a single row, one count per radius. */
+  def radiusSweep(points: DataFrame, cLat: Double, cLon: Double,
+                  radii: Seq[Double]): DataFrame = {
+    val aggs = radii.zipWithIndex.map { case (rr, i) =>
+      sum(when(GeoCols.inBox(col("lat"), col("lon"),
+        MBR(cLat - rr, cLon - rr, cLat + rr, cLon + rr)), 1L).otherwise(0L))
+        .as(s"cnt_$i")
+    }
+    points.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** 2-D skyline, minimize (lat, lon) (op #11/#14). Two-phase
     * skyline-of-skylines: a hash-bucketed local sweep prunes to a small
     * candidate set with NO global sort of the full input, then the exact

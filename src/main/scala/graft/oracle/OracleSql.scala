@@ -111,6 +111,15 @@ object OracleSql {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  def radiusSweep(cLat: Double, cLon: Double, radii: Seq[Double]): String = {
+    val aggs = radii.zipWithIndex.map { case (rr, i) =>
+      val b = graft.geo.MBR(cLat - rr, cLon - rr, cLat + rr, cLon + rr)
+      s"CAST(sum(CASE WHEN ${inBoxSql(b)} THEN 1 ELSE 0 END) AS BIGINT) AS cnt_$i"
+    }
+    s"""$pointsCte
+       |SELECT ${aggs.mkString(",\n       ")} FROM pts""".stripMargin
+  }
+
   def knnJoin(queries: Seq[(Int, Double, Double)], k: Int): String = {
     val values = queries.map { case (qid, la, lo) => s"($qid, ${d(la)}, ${d(lo)})" }.mkString(", ")
     s"""$pointsCte
