@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.geo.CellId
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** SparkSessionExtensions registration: exposes the engine's core scalar
+  * surface to plain SQL (`spark.sql("SELECT graft_cell(lat, lon, 6) ...")`)
+  * so a SQL-only user of the reference can switch without the Scala API.
+  *
+  * Each function BUILDS a tree of built-in expressions (the same shapes as
+  * [[graft.geo.GeoCols]]) rather than introducing new Expression classes —
+  * codegen, pushdown, and constant folding apply unchanged (SURVEY.md
+  * §4.3: no custom Rule/Strategy needed).
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def resOf(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"resolution must be an integer literal, got $other")
+  }
+
+  /** floor((lat+90)/step)*n + floor((lon+180)/step) as built-ins. */
+  private def cellExpr(lat: Expression, lon: Expression, r: Int): Expression = {
+    val y = Floor(Divide(Add(lat, Literal(90.0)), Literal(CellId.latStep(r))))
+    val x = Floor(Divide(Add(lon, Literal(180.0)), Literal(CellId.lonStep(r))))
+    Add(Multiply(y, Literal(CellId.n(r))), x)
+  }
+
+  private def d2Expr(lat: Expression, lon: Expression,
+                     qLat: Expression, qLon: Expression): Expression = {
+    val dy = Subtract(lat, qLat)
+    val dx = Subtract(lon, qLon)
+    Add(Multiply(dy, dy), Multiply(dx, dx))
+  }
+
+  private def latFromPhash(ph: Expression): Expression =
+    Subtract(Divide(Cast(Remainder(ShiftRightUnsigned(ph, Literal(32)),
+      Literal(180000L)), DoubleType), Literal(1000.0)), Literal(90.0))
+
+  private def lonFromPhash(ph: Expression): Expression =
+    Subtract(Divide(Cast(Remainder(BitwiseAnd(ph, Literal(0xFFFFFFFFL)),
+      Literal(360000L)), DoubleType), Literal(1000.0)), Literal(180.0))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+    ext.injectFunction((FunctionIdentifier("graft_cell"),
+      info("graft_cell", "graft_cell(lat, lon, res) - row-major grid cell id"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_cell(lat, lon, res)")
+        Cast(cellExpr(Cast(args(0), DoubleType), Cast(args(1), DoubleType),
+          resOf(args(2))), LongType)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_d2"),
+      info("graft_d2", "graft_d2(lat, lon, qlat, qlon) - squared planar degree distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_d2(lat, lon, qlat, qlon)")
+        d2Expr(Cast(args(0), DoubleType), Cast(args(1), DoubleType),
+          Cast(args(2), DoubleType), Cast(args(3), DoubleType))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_lat"),
+      info("graft_lat", "graft_lat(phash) - derived latitude from the 64-bit phash"),
+      (args: Seq[Expression]) => latFromPhash(Cast(args.head, LongType))))
+
+    ext.injectFunction((FunctionIdentifier("graft_lon"),
+      info("graft_lon", "graft_lon(phash) - derived longitude from the 64-bit phash"),
+      (args: Seq[Expression]) => lonFromPhash(Cast(args.head, LongType))))
+  }
+}
