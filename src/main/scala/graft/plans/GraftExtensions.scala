@@ -49,32 +49,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Subtract(Divide(Cast(Remainder(BitwiseAnd(ph, Literal(0xFFFFFFFFL)),
       Literal(360000L)), DoubleType), Literal(1000.0)), Literal(180.0))
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
+  /** The function registrations, exposed so they can also be installed on
+    * an already-running session ([[GraftExtensions.install]]) — e.g. a
+    * shared test session or a REPL where the builder has already fired. */
+  def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
-
-    ext.injectFunction((FunctionIdentifier("graft_cell"),
-      info("graft_cell", "graft_cell(lat, lon, res) - row-major grid cell id"),
-      (args: Seq[Expression]) => {
-        require(args.length == 3, "graft_cell(lat, lon, res)")
-        Cast(cellExpr(Cast(args(0), DoubleType), Cast(args(1), DoubleType),
-          resOf(args(2))), LongType)
-      }))
-
-    ext.injectFunction((FunctionIdentifier("graft_d2"),
-      info("graft_d2", "graft_d2(lat, lon, qlat, qlon) - squared planar degree distance"),
-      (args: Seq[Expression]) => {
-        require(args.length == 4, "graft_d2(lat, lon, qlat, qlon)")
-        d2Expr(Cast(args(0), DoubleType), Cast(args(1), DoubleType),
-          Cast(args(2), DoubleType), Cast(args(3), DoubleType))
-      }))
-
-    ext.injectFunction((FunctionIdentifier("graft_lat"),
-      info("graft_lat", "graft_lat(phash) - derived latitude from the 64-bit phash"),
-      (args: Seq[Expression]) => latFromPhash(Cast(args.head, LongType))))
-
-    ext.injectFunction((FunctionIdentifier("graft_lon"),
-      info("graft_lon", "graft_lon(phash) - derived longitude from the 64-bit phash"),
-      (args: Seq[Expression]) => lonFromPhash(Cast(args.head, LongType))))
+    Seq(
+      (FunctionIdentifier("graft_cell"),
+        info("graft_cell", "graft_cell(lat, lon, res) - row-major grid cell id"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_cell(lat, lon, res)")
+          Cast(cellExpr(Cast(args(0), DoubleType), Cast(args(1), DoubleType),
+            resOf(args(2))), LongType)
+        }),
+      (FunctionIdentifier("graft_d2"),
+        info("graft_d2", "graft_d2(lat, lon, qlat, qlon) - squared planar degree distance"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4, "graft_d2(lat, lon, qlat, qlon)")
+          d2Expr(Cast(args(0), DoubleType), Cast(args(1), DoubleType),
+            Cast(args(2), DoubleType), Cast(args(3), DoubleType))
+        }),
+      (FunctionIdentifier("graft_lat"),
+        info("graft_lat", "graft_lat(phash) - derived latitude from the 64-bit phash"),
+        (args: Seq[Expression]) => latFromPhash(Cast(args.head, LongType))),
+      (FunctionIdentifier("graft_lon"),
+        info("graft_lon", "graft_lon(phash) - derived longitude from the 64-bit phash"),
+        (args: Seq[Expression]) => lonFromPhash(Cast(args.head, LongType))))
   }
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** Register the graft_* SQL functions on a live session. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    new GraftExtensions().registrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
 }

@@ -9,12 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * plain SQL, matching the Scala Column API and the pure codec exactly. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .withExtensions(new graft.plans.GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // getOrCreate may return another suite's session (builder extensions
+    // only apply to a session this builder creates) — install() covers
+    // both paths and is itself the API a live REPL/session would use
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.plans.GraftExtensions.install(s)
+    s
+  }
 
   test("graft_cell / graft_d2 / graft_lat / graft_lon from plain SQL") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
