@@ -70,6 +70,12 @@ object SparkEntry {
       SpatialOps.pipJoinBroadcast(Points(s, dir), Fixtures.polys)),
     "q10c_knn_join_pruned" -> ((s, dir) => SpatialOps.knnJoinPruned(Points(s, dir),
       Fixtures.knnQueries, Fixtures.knnJoinK)),
+    "q10d_knn_indexed" -> ((s, dir) => {
+      val (clustered, gi) = graft.index.GlobalIndex.build(Points(s, dir),
+        r = 8, numPartitions = 8)
+      graft.index.GlobalIndex.knnIndexed(clustered, gi,
+        Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)
+    }),
     "q09c_range_join_salted" -> ((s, dir) =>
       SpatialOps.boxJoinSalted(Points(s, dir), Fixtures.boxes)),
     // --- multimodal (image payload) ops over the deterministic table ---
@@ -112,6 +118,7 @@ object SparkEntry {
     // SQL-expressible → rows-only driver check; pinned by specs instead.
     "q17b_pip_broadcast" -> OracleSql.pipJoin(Fixtures.polys),
     "q10c_knn_join_pruned" -> OracleSql.knnJoin(Fixtures.knnQueries, Fixtures.knnJoinK),
+    "q10d_knn_indexed" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
     "q09c_range_join_salted" -> OracleSql.boxJoin(Fixtures.boxes),
     "q28_ann_topk" -> OracleSql.annTopK(Fixtures.annQueryIds, Fixtures.annK),
     "q29_embed_neardup" -> OracleSql.nearDupPairs(29, 250000L),

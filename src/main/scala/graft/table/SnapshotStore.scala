@@ -98,7 +98,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
     * whose lat/lon range cannot intersect it. Returns (files read, total
     * files) alongside the DataFrame so callers/tests can observe pruning. */
   def read(box: Option[MBR] = None): (DataFrame, Int, Int) = {
-    val entries = manifest()
+    // drop compaction lineage markers (zero-file entries kept only so
+    // resumableRun still recognizes pre-compaction units as committed)
+    val entries = manifest().filter(_.path.nonEmpty)
     val kept = box match {
       case None => entries
       case Some(b) => entries.filter(e =>
@@ -109,6 +111,51 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
       if (kept.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
       else spark.read.parquet(kept.map(_.path): _*)
     (df.drop("__z"), kept.size, entries.size)
+  }
+
+  /** Compaction — the distributed analog of the reference's forced-
+    * reinsert "layout repair" (RStarTree.java:126-172, SURVEY §4.1): read
+    * the full current snapshot, re-cluster by Z order into `numPartitions`
+    * files, commit a snapshot whose manifest REPLACES the old entries
+    * (not appends). Query results are unaffected (proven in spec); file
+    * counts drop and Z-ranges tighten, which is what makes manifest and
+    * row-group pruning effective after many small appends. */
+  def compact(numPartitions: Int = 0): Long = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val (df, _, _) = read()
+    val unitDir = s"$root/data/compact-${currentSnapshotId + 1}"
+    df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val lineage = s"compact-${currentSnapshotId + 1}"
+    val stats = spark.read.parquet(unitDir)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"), min(col("__z")).as("minZ"), max(col("__z")).as("maxZ"),
+        min(col("lat")).as("minLat"), max(col("lat")).as("maxLat"),
+        min(col("lon")).as("minLon"), max(col("lon")).as("maxLon"))
+      .collect()
+      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        lineage, wallMs))
+    // replacing commit: new manifest = compacted entries + ORIGINAL
+    // lineage ids as zero-file markers so resumableRun still skips them
+    val next = currentSnapshotId + 1
+    val lineageMarkers = committedLineage.toSeq.sorted.map(l =>
+      FileEntry(path = "", rows = 0L, minZ = 0L, maxZ = 0L,
+        minLat = 0.0, maxLat = 0.0, minLon = 0.0, maxLon = 0.0,
+        lineageId = l, wallMs = 0L))
+    spark.createDataset(stats.toSeq ++ lineageMarkers).coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
+    val tmp = metaDir.resolve(s"current.tmp.$next")
+    Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
   }
 
   /** Resumable multi-unit job: process only units not yet committed.

@@ -95,6 +95,31 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(dump(st2) == dump(oneShot))
   }
 
+  test("compaction: fewer files, identical content, lineage still honored") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    // many tiny appends → fragmented table
+    for (i <- 0 until 5)
+      st.append(pts.filter(col("id") % 5 === i), s"frag-$i", numPartitions = 4)
+    val before = st.read()._3
+    assert(before == 20)
+    def dump(s: SnapshotStore) = s.read()._1.select("id", "lat", "lon")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val contentBefore = dump(st)
+    st.compact(numPartitions = 4)
+    assert(st.read()._3 == 4, "compaction must shrink the file count")
+    assert(dump(st) == contentBefore, "compaction must not change content")
+    // pre-compaction units stay 'committed' for resume purposes
+    val again = new SnapshotStore(spark, root)
+      .resumableRun((0 until 5).map(i => s"frag-$i"))(_ => fail("must not reprocess"))
+    assert(again.isEmpty)
+    // pruning still works on the compacted layout
+    val box = graft.geo.MBR(10.0, 30.0, 25.0, 60.0)
+    val (df, kept, total) = st.read(Some(box))
+    assert(kept <= total)
+    assert(df.count() > 0)
+  }
+
   test("image table through the store: payload intact after cluster+commit") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
