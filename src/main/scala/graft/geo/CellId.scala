@@ -77,6 +77,12 @@ object CellId {
     for (y <- y0 to y1; x <- x0 to x1) yield y * n(r) + x
   }
 
+  /** Exact polygon covering: bbox cover refined by true cell∩polygon
+    * intersection — a concave polygon's notch cells drop out of the
+    * covering entirely, so they never reach the per-row refine filter. */
+  def coverPoly(p: Poly, r: Int): Seq[Long] =
+    cover(p.bbox, r).filter(c => p.intersectsBox(mbr(c, r)))
+
   /** Cells in the square ring at Chebyshev distance `k` around `cell`
     * (k=0 → the cell itself). Drives the expanding-ring kNN search. */
   def ring(cell: Long, r: Int, k: Long): Seq[Long] = {

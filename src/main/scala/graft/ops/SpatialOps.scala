@@ -176,7 +176,7 @@ object SpatialOps {
               r: Int = Fixtures.JoinRes): DataFrame = {
     val cellPts = withCell(points, r)
     polys.map { case (pid, p) =>
-      val cover = CellId.cover(p.bbox, r)
+      val cover = CellId.coverPoly(p, r) // exact cover: notch cells pruned
       val pruned =
         if (cover.size <= 4096) cellPts.filter(col("cell").isin(cover: _*))
         else cellPts
@@ -255,7 +255,7 @@ object SpatialOps {
     import spark.implicits._
     val polyRows = polys.flatMap { case (pid, p) =>
       val ring = p.ring.map { case (la, lo) => (la, lo) }
-      CellId.cover(p.bbox, r).map(c => (pid, c, ring))
+      CellId.coverPoly(p, r).map(c => (pid, c, ring))
     }
     val polysDf = polyRows.toDF("poly_id", "pcell", "ring")
     val n = size(col("ring"))

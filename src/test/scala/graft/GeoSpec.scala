@@ -112,6 +112,43 @@ class GeoSpec extends AnyFunSuite {
     assert(p.bbox == MBR(-60.0, 60.0, -20.0, 120.0))
   }
 
+  test("coverPoly: exact (point in poly => cell covered) and tighter than bbox") {
+    val r0 = rng
+    for ((_, p) <- graft.data.Fixtures.polys) {
+      for (res <- 3 to 7) {
+        val exact = CellId.coverPoly(p, res).toSet
+        val bbox = CellId.cover(p.bbox, res).toSet
+        assert(exact.subsetOf(bbox))
+        // exactness: random points inside the polygon land in covered cells
+        var found = 0
+        for (_ <- 1 to 20000 if found < 500) {
+          val la = p.bbox.minLat + r0.nextDouble() * (p.bbox.maxLat - p.bbox.minLat)
+          val lo = p.bbox.minLon + r0.nextDouble() * (p.bbox.maxLon - p.bbox.minLon)
+          if (p.contains(la, lo)) {
+            found += 1
+            assert(exact.contains(CellId.grid(la, lo, res)), s"($la,$lo) res=$res")
+          }
+        }
+        assert(found > 100)
+      }
+      // the L-polygon's notch must actually prune at fine resolution
+      if (p == graft.data.Fixtures.polyConcave._2) {
+        val exact = CellId.coverPoly(p, 7).toSet
+        val bbox = CellId.cover(p.bbox, 7).toSet
+        assert(exact.size < bbox.size, "concave cover should beat bbox cover")
+      }
+    }
+  }
+
+  test("segment intersection basics") {
+    import graft.geo.Poly.segmentsIntersect
+    assert(segmentsIntersect((0, 0), (2, 2), (0, 2), (2, 0)))   // X cross
+    assert(!segmentsIntersect((0, 0), (1, 0), (2, 0), (3, 0)))  // collinear apart
+    assert(segmentsIntersect((0, 0), (2, 0), (1, 0), (3, 0)))   // collinear overlap
+    assert(segmentsIntersect((0, 0), (2, 0), (2, 0), (2, 2)))   // endpoint touch
+    assert(!segmentsIntersect((0, 0), (1, 1), (0, 1), (0.4, 0.6))) // near miss
+  }
+
   test("pickResolution targets rows-per-cell") {
     assert(CellId.pickResolution(1000000000000L, 100000L) >= 10)
     assert(CellId.pickResolution(60000L, 100L) <= 6)
