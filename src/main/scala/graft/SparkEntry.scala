@@ -61,6 +61,8 @@ object SparkEntry {
       AnnOps.cosineTopK(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q28b_ann_ivf" -> ((s, dir) =>
       AnnOps.annIvf(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+    "q28c_ann_lsh" -> ((s, dir) =>
+      AnnOps.annLsh(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q29_embed_neardup" -> ((s, dir) => AnnOps.nearDupPairs(emb(s, dir), 29, 250000L)),
     "q30_window_agg" -> ((s, dir) =>
       EventOps.windowAgg(s.read.parquet(s"$dir/events.parquet"))),

@@ -63,6 +63,48 @@ object AnnOps {
       .select(col("qid"), col("vec_id").as("vid"), col("sq"))
   }
 
+  /** Random-hyperplane LSH ANN (the second scale path, beside IVF):
+    * L hash tables × b sign-bits of dot products against deterministic
+    * hyperplanes (components derived from [[graft.ops.Dedup.hash64]]-style
+    * mixing, so signatures are reproducible anywhere). Candidates = bucket
+    * matches in ANY table (explode + equi-join on (table, bucket) — one
+    * shuffle on a compact key), then exact cosine re-rank of candidates
+    * only. Approximate; the spec pins perfect recall on planted near-dups
+    * (cos ≈ 1 ⇒ identical sign patterns w.h.p.). */
+  def annLsh(emb: DataFrame, queryIds: Seq[Int], k: Int,
+             tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // deterministic hyperplane components in [-0.5, 0.5)
+    def hp(t: Int, b: Int, d: Int): Double =
+      ((graft.img.Codec.mix((t.toLong << 40) ^ (b.toLong << 20) ^ d) & 0xFFFFFL)
+        .toDouble / 0x100000L.toDouble) - 0.5
+    val e = withNorm(emb)
+    val sigCols = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        val dotHp = (0 until dim).map(d =>
+          element_at(col("v"), d + 1) * lit(hp(t, b, d))).reduce(_ + _)
+        shiftleft(when(dotHp > 0, lit(1L)).otherwise(lit(0L)), b)
+      }.reduce(_ bitwiseOR _)
+      struct(lit(t).as("t"), bucket.as("bkt"))
+    }
+    val hashed = e.withColumn("sigs", array(sigCols: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = hashed.select(col("vec_id"), col("v"), col("nrm"),
+      explode(col("sigs")).as("s"))
+    val qb = buckets.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("s").as("qs"))
+    val cand = buckets.join(qb, col("s") === col("qs"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
+      .dropDuplicates("qid", "vec_id")
+    val sim = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sq").desc, col("vec_id"))
+    cand.withColumn("sq", simq(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("vid"), col("sq"))
+  }
+
   /** IVF-style ANN (the scale path): build centroids per coarse partition
     * (here: the label column as the pre-assigned IVF list — at scale,
     * k-means iterations of exactly this groupBy shape), route each query to

@@ -113,6 +113,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("annLsh: self always found at rank 1; planted near-dups recalled") {
+    import spark.implicits._
+    // plant near-duplicates: copy vectors 0..3 with tiny deterministic noise
+    val base = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val planted = (0 until 4).map { i =>
+      val (id, v, lb) = base(i)
+      (id + 100000L, v.zipWithIndex.map { case (x, d) =>
+        x + (graft.img.Codec.mix(id ^ d) % 1000L).toFloat * 1e-7f }, lb)
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding", "label")
+    val qids = Seq(0, 1, 2, 3)
+    val got = graft.ops.AnnOps.annLsh(all, qids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (q <- qids) {
+      val mine = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(mine.head == q.toLong, s"q=$q rank-1 must be self, got $mine")
+      assert(mine.contains(q + 100000L), s"q=$q planted near-dup missed: $mine")
+    }
+  }
+
   test("annIvf: exact within routed lists; decent recall vs brute") {
     val brute = AnnOps.cosineTopK(emb, Fixtures.annQueryIds, Fixtures.annK)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
