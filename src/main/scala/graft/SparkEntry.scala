@@ -28,6 +28,31 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // snapshot-store round trip (ops #2 heap-file sink + #5 insert):
+    // append the derived cloud as one lineage unit (Z-clustered write +
+    // manifest commit), read the committed snapshot back — the oracle is
+    // the plain derived-points SELECT, so content identity through the
+    // table layer is driver-checked (DataFile.java:144-198 semantics)
+    "q02_snapshot_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("graft_q02_").toString
+      val store = new graft.table.SnapshotStore(s, root)
+      store.append(Points(s, dir), "unit-all")
+      store.read()._1.select(col("id"), col("lat"), col("lon"))
+    }),
+    // compaction round trip (op #6 forced-reinsert analog,
+    // RStarTree.java:126-172): three appends → compact() rewrites the
+    // layout under a replacing manifest → same content, fewer files
+    "q06_compact_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Files.createTempDirectory("graft_q06_").toString
+      val store = new graft.table.SnapshotStore(s, root)
+      val pts = Points(s, dir)
+      (0 until 3).foreach(u =>
+        store.append(pts.filter(pmod(col("id"), lit(3)) === u), s"unit-$u"))
+      store.compact(numPartitions = 4)
+      store.read()._1.select(col("id"), col("lat"), col("lon"))
+    }),
     "q03_point_lookup" -> ((s, dir) => SpatialOps.pointLookup(Points(s, dir), 8L, 256L)),
     "q04_index_summary" -> ((s, dir) => SpatialOps.indexSummary(Points(s, dir), 3)),
     "q07_bulkload_leaves" -> ((s, dir) => SpatialOps.bulkloadLeaves(Points(s, dir))),
@@ -75,16 +100,30 @@ object SparkEntry {
     "q10d_knn_indexed" -> ((s, dir) => {
       val (clustered, gi) = graft.index.GlobalIndex.build(Points(s, dir),
         r = 8, numPartitions = 8)
-      graft.index.GlobalIndex.knnIndexed(clustered, gi,
+      // materialize the k-row result, then release the clustered cache —
+      // the index build is a write-time cost; the session shouldn't keep
+      // paying its storage after the query
+      val out = graft.index.GlobalIndex.knnIndexed(clustered, gi,
         Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)
+        .localCheckpoint(true)
+      clustered.unpersist(false)
+      out
     }),
     "q09c_range_join_salted" -> ((s, dir) =>
       SpatialOps.boxJoinSalted(Points(s, dir), Fixtures.boxes)),
     // --- multimodal (image payload) ops over the deterministic table ---
     "q40_image_decode" -> ((s, _) =>
       graft.ops.ImageOps.decodeStats(graft.data.Synth.table(s, 500).toDF()).toDF()),
-    "q41_image_embed" -> ((s, _) =>
-      graft.ops.ImageOps.embed(graft.data.Synth.table(s, 500).toDF()).toDF()),
+    "q41_image_embed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      // driver-facing projection: the raw array<float> column is not
+      // sortable by the compare harness — posexplode to scalar
+      // (image_id, dim, value_q) rows, values quantized to 1e-3
+      graft.ops.ImageOps.embed(graft.data.Synth.table(s, 500).toDF()).toDF()
+        .select(col("image_id"), posexplode(col("embedding")).as(Seq("dim", "ev")))
+        .select(col("image_id"), col("dim").cast("int").as("dim"),
+          floor(col("ev").cast("double") * 1000).cast("long").as("value_q"))
+    }),
     "q42_image_resize" -> ((s, _) =>
       graft.ops.ImageOps.resize(graft.data.Synth.table(s, 200).toDF(), 16)
         .toDF().select("image_id", "w", "h")),
@@ -96,6 +135,8 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   def oracleSql: Map[String, String] = Map(
+    "q02_snapshot_scan" -> OracleSql.allPoints,
+    "q06_compact_scan" -> OracleSql.allPoints,
     "q03_point_lookup" -> OracleSql.pointLookup(8L, 256L),
     "q04_index_summary" -> OracleSql.indexSummary(3),
     "q07_bulkload_leaves" -> OracleSql.bulkloadLeaves(Fixtures.PackFanout),

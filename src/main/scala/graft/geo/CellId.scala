@@ -136,8 +136,8 @@ object CellId {
     x = (x | (x >> 2))  & 0x0F0F0F0F0F0F0F0FL
     x = (x | (x >> 4))  & 0x00FF00FF00FF00FFL
     x = (x | (x >> 8))  & 0x0000FFFF0000FFFFL
-    x = (x | (x >> 16)) & 0x0000FFFF0000FFFFL
-    x & 0xFFFFFFFFL
+    x = (x | (x >> 16)) & 0xFFFFFFFFL
+    x
   }
 
   def morton(y: Long, x: Long): Long = (spread(y) << 1) | spread(x)
@@ -145,6 +145,61 @@ object CellId {
   def mortonX(z: Long): Long = squash(z)
 
   def z(lat: Double, lon: Double, r: Int): Long = morton(cellY(lat, r), cellX(lon, r))
+
+  /** Ascending, disjoint Morton (Z) ranges covering the cell box
+    * [y0..y1] × [x0..x1] at resolution r, via quadtree descent — O(box
+    * perimeter) ranges WITHOUT enumerating the box's cells, so a
+    * 1000×1000-cell covering compiles to a few hundred BETWEEN conjuncts
+    * instead of a 10⁶-literal IN list. This is the predicate shape that
+    * prunes a Z-clustered stored table's files/row groups (the manifest
+    * and parquet stats index __z, [[graft.table.SnapshotStore]]).
+    *
+    * If descent yields more than `maxRanges`, adjacent ranges are
+    * coalesced smallest-gap-first — the result is a superset covering, so
+    * it stays a valid pruning predicate (exact refine always follows). */
+  def zRangesForBox(y0: Long, y1: Long, x0: Long, x1: Long, r: Int,
+                    maxRanges: Int = 512): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def emit(lo: Long, hi: Long): Unit =
+      if (out.nonEmpty && out.last._2 + 1 == lo)
+        out(out.length - 1) = (out.last._1, hi)
+      else out += ((lo, hi))
+    def rec(level: Int, y: Long, x: Long): Unit = {
+      val shift = r - level
+      val cy0 = y << shift; val cy1 = cy0 + (1L << shift) - 1
+      val cx0 = x << shift; val cx1 = cx0 + (1L << shift) - 1
+      if (cy1 < y0 || cy0 > y1 || cx1 < x0 || cx0 > x1) ()          // disjoint
+      else if (cy0 >= y0 && cy1 <= y1 && cx0 >= x0 && cx1 <= x1) {  // contained
+        val zb = morton(y, x) << (2 * shift)
+        emit(zb, zb + (1L << (2 * shift)) - 1)
+      } else {
+        // children visited in ascending-Z order (y bit is the higher bit)
+        rec(level + 1, 2 * y, 2 * x);     rec(level + 1, 2 * y, 2 * x + 1)
+        rec(level + 1, 2 * y + 1, 2 * x); rec(level + 1, 2 * y + 1, 2 * x + 1)
+      }
+    }
+    if (y1 >= y0 && x1 >= x0) rec(0, 0, 0)
+    if (out.size <= maxRanges) out.toSeq
+    else {
+      // coalesce across the smallest gaps until under budget
+      val gaps = out.sliding(2).map(p => p(1)._1 - p(0)._2).toArray.sorted
+      val cut = gaps(out.size - maxRanges - 1)
+      val merged = scala.collection.mutable.ArrayBuffer(out.head)
+      var budgetLeft = out.size - maxRanges
+      out.drop(1).foreach { nxt =>
+        val gap = nxt._1 - merged.last._2
+        if (gap <= cut && budgetLeft > 0) {
+          merged(merged.length - 1) = (merged.last._1, nxt._2); budgetLeft -= 1
+        } else merged += nxt
+      }
+      merged.toSeq
+    }
+  }
+
+  /** Z ranges covering the cells intersecting a lat/lon box. */
+  def zRangesForMbr(b: MBR, r: Int, maxRanges: Int = 512): Seq[(Long, Long)] =
+    zRangesForBox(cellY(b.minLat, r), cellY(b.maxLat, r),
+      cellX(b.minLon, r), cellX(b.maxLon, r), r, maxRanges)
 
   /** Choose a resolution so the expected rows-per-cell lands near
     * `targetRowsPerCell` — the adaptive-resolution pick from the north

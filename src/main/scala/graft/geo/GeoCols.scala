@@ -21,16 +21,23 @@ object GeoCols {
   def cellCol(lat: Column, lon: Column, r: Int): Column = {
     val latStep = CellId.latStep(r)
     val lonStep = CellId.lonStep(r)
-    floor((lat + lit(90.0)) / lit(latStep)) * lit(CellId.n(r)) +
-      floor((lon + lit(180.0)) / lit(lonStep))
+    clampIdx(floor((lat + lit(90.0)) / lit(latStep)), r) * lit(CellId.n(r)) +
+      clampIdx(floor((lon + lit(180.0)) / lit(lonStep)), r)
   }
+
+  /** Clamp a grid index into [0, 2^r − 1] — mirrors [[CellId.cellY]]/
+    * [[CellId.cellX]] (and the oracle SQL twin), so a point exactly at
+    * lat=90 or lon=180 (legal user input on a stored table) lands in the
+    * edge cell that driver-computed covering sets actually contain. */
+  private def clampIdx(idx: Column, r: Int): Column =
+    least(greatest(idx, lit(0L)), lit(CellId.n(r) - 1))
 
   /** Morton (Z-order) id at resolution r — the clustering key for bulk
     * packing. Pure bit-twiddling on built-in expressions (shiftleft / and /
     * or), codegen-compatible. */
   def zCol(lat: Column, lon: Column, r: Int): Column = {
-    val y = floor((lat + lit(90.0)) / lit(CellId.latStep(r))).cast("long")
-    val x = floor((lon + lit(180.0)) / lit(CellId.lonStep(r))).cast("long")
+    val y = clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), r)
+    val x = clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), r)
     def spread(v: Column): Column = {
       var c = v.bitwiseAND(lit(0xFFFFFFFFL))
       c = (c.bitwiseOR(shiftleft(c, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
@@ -41,6 +48,32 @@ object GeoCols {
       c
     }
     shiftleft(spread(y), 1).bitwiseOR(spread(x))
+  }
+
+  /** Pruning predicate from a Z-range covering ([[CellId.zRangesForBox]]):
+    * a bounded disjunction of BETWEEN conjuncts over a MATERIALIZED Morton
+    * column (a stored table's `__z` sort key — parquet min/max row-group
+    * stats prune on it). Only apply this to a real column: inlining a
+    * computed z expression into every conjunct explodes codegen (janino
+    * 64KB) — computed predicates use [[cellBoxPredicate]] instead, since a
+    * covering region is a rectangle in (y, x). */
+  def zRangePredicate(zc: Column, ranges: Seq[(Long, Long)]): Column =
+    if (ranges.isEmpty) lit(false)
+    else ranges.map { case (lo, hi) => zc >= lit(lo) && zc <= lit(hi) }
+      .reduce(_ || _)
+
+  /** Covering-region prune as a rectangle in grid coordinates: four
+    * comparisons on two small floor expressions — the computed-column twin
+    * of [[zRangePredicate]] (a cell box [y0..y1]×[x0..x1] IS the covering
+    * of any lat/lon box or ring union, so no Morton arithmetic is needed
+    * until the key is materialized). */
+  def cellBoxPredicate(lat: Column, lon: Column, r: Int,
+                       y0: Long, y1: Long, x0: Long, x1: Long): Column = {
+    val y = least(greatest(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), lit(0L)),
+      lit(CellId.n(r) - 1))
+    val x = least(greatest(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), lit(0L)),
+      lit(CellId.n(r) - 1))
+    y >= lit(y0) && y <= lit(y1) && x >= lit(x0) && x <= lit(x1)
   }
 
   /** Inclusive box containment — MBR.java:57-64 semantics. */

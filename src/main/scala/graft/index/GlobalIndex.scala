@@ -86,12 +86,15 @@ object GlobalIndex {
       if (radius == Double.MaxValue) clustered
       else {
         val minStep = math.min(CellId.latStep(r), CellId.lonStep(r))
-        val rings = math.ceil(radius / minStep).toLong + 1
-        val qCell = CellId.grid(qLat, qLon, r)
-        val cells = (0L to rings).flatMap(CellId.ring(qCell, r, _))
-        if (cells.size <= 4096)
-          clustered.filter(GeoCols.cellCol(col("lat"), col("lon"), r).isin(cells: _*))
-        else clustered
+        val w = math.ceil(radius / minStep).toLong + 1
+        val qy = CellId.cellY(qLat, r); val qx = CellId.cellX(qLon, r)
+        val hi = CellId.n(r) - 1
+        // seed box as a rectangle predicate (4 comparisons) — never an
+        // O(w²) IN list, planner-cheap at any radius/resolution; on a
+        // stored table the same box prunes files via manifest Z ranges
+        clustered.filter(GeoCols.cellBoxPredicate(col("lat"), col("lon"), r,
+          math.max(0L, qy - w), math.min(hi, qy + w),
+          math.max(0L, qx - w), math.min(hi, qx + w)))
       }
     cand.withColumn("d2", d2)
       .orderBy(col("d2"), col("id"))

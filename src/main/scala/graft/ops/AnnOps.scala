@@ -79,30 +79,56 @@ object AnnOps {
     def hp(t: Int, b: Int, d: Int): Double =
       ((graft.img.Codec.mix((t.toLong << 40) ^ (b.toLong << 20) ^ d) & 0xFFFFFL)
         .toDouble / 0x100000L.toDouble) - 0.5
-    val e = withNorm(emb)
-    val sigCols = (0 until tables).map { t =>
-      val bucket = (0 until bits).map { b =>
-        val dotHp = (0 until dim).map(d =>
-          element_at(col("v"), d + 1) * lit(hp(t, b, d))).reduce(_ + _)
-        shiftleft(when(dotHp > 0, lit(1L)).otherwise(lit(0L)), b)
-      }.reduce(_ bitwiseOR _)
-      struct(lit(t).as("t"), bucket.as("bkt"))
+    // Signatures as a typed per-partition kernel over a precomputed
+    // hyperplane matrix: the equivalent Column expression tree is
+    // tables × bits × dim (≈4,096) element_at multiplies PER ROW —
+    // interpreter-hostile and the measured round-1 bench bottleneck
+    // (same finding as Dedup.withSignatures: kernels beat HOF/oversized
+    // expressions by orders of magnitude on per-row loops).
+    val planes: Array[Array[Double]] = Array.tabulate(tables * bits) { tb =>
+      Array.tabulate(dim)(d => hp(tb / bits, tb % bits, d))
     }
-    val hashed = e.withColumn("sigs", array(sigCols: _*))
+    val hashed = withNorm(emb)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions(_.map { case (id, vSeq, nrm) =>
+        val v = vSeq.toArray
+        val n = math.min(dim, v.length)
+        val bkts = new Array[Long](tables)
+        var t = 0
+        while (t < tables) {
+          var bkt = 0L
+          var b = 0
+          while (b < bits) {
+            val p = planes(t * bits + b)
+            var s = 0.0
+            var d = 0
+            while (d < n) { s += v(d) * p(d); d += 1 }
+            if (s > 0) bkt |= (1L << b)
+            b += 1
+          }
+          bkts(t) = bkt
+          t += 1
+        }
+        (id, vSeq, nrm, bkts)
+      })
+      .toDF("vec_id", "v", "nrm", "bkts")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = hashed.select(col("vec_id"), col("v"), col("nrm"),
-      explode(col("sigs")).as("s"))
+      posexplode(col("bkts")).as(Seq("t", "bkt")))
     val qb = buckets.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("s").as("qs"))
-    val cand = buckets.join(qb, col("s") === col("qs"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("t").as("qt"), col("bkt").as("qbkt"))
+    val cand = buckets.join(qb, col("t") === col("qt") && col("bkt") === col("qbkt"))
       .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
       .dropDuplicates("qid", "vec_id")
     val sim = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sq").desc, col("vec_id"))
-    cand.withColumn("sq", simq(sim))
+    val out = cand.withColumn("sq", simq(sim))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("vid"), col("sq"))
+    OpUtil.finish(out, hashed)
   }
 
   /** IVF-style ANN (the scale path): build centroids per coarse partition

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: group identical texts, keep min doc_id. One partial+final
-    * hash aggregate; at scale, group on xxhash64(text) first and compare
-    * texts only within hash buckets (collision-free in practice). */
+    * hash aggregate whose shuffle key is a 128-bit content hash (two
+    * independent xxhash64 derivations — the second seeds the stream with a
+    * distinct literal), NOT the document text: at 100 TB the exchange
+    * carries 16 bytes per row instead of the corpus. Two colliding 64-bit
+    * hashes on distinct texts (~2⁻¹²⁸ per pair) is the only divergence
+    * from byte-compare semantics — the q23 oracle (GROUP BY text) pins
+    * output identity. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(xxhash64(col("text")).as("__h1"),
+        xxhash64(lit("graft-dedup-2"), col("text")).as("__h2"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
@@ -48,12 +54,13 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(cnts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(cnts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), col("jacc"))
+    OpUtil.finish(out, base)
   }
 
   /** Stable 64-bit string hash (splitmix64 over a 31-polynomial prefix) —
@@ -127,7 +134,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    cand
+    val out = cand
       .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -135,6 +142,7 @@ object Dedup {
         (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("jacc"))
+    OpUtil.finish(out, base)
   }
 
   /** 64-bit SimHash over token hashes: per bit, sum ±1 across tokens
@@ -172,12 +180,13 @@ object Dedup {
       posexplode(array((0 until 4).map(q =>
         shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qh")
-    blocked.as("a").join(blocked.as("b"),
+    val out = blocked.as("a").join(blocked.as("b"),
         col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    OpUtil.finish(out, sh)
   }
 }

@@ -26,15 +26,12 @@ object SpatialOps {
     * conjunct. The cell conjunct is redundant for correctness but is the
     * scale path: on a cell-clustered stored table it prunes files/row
     * groups before the scan. */
-  def rangeBox(points: DataFrame, b: MBR, r: Int = Fixtures.JoinRes): DataFrame = {
-    val cover = CellId.cover(b, r)
-    val base =
-      if (cover.nonEmpty && cover.size <= 1024)
-        points.filter(GeoCols.cellCol(col("lat"), col("lon"), r).isin(cover: _*))
-      else points
-    base.filter(GeoCols.inBox(col("lat"), col("lon"), b))
+  def rangeBox(points: DataFrame, b: MBR, r: Int = Fixtures.JoinRes): DataFrame =
+    points.filter(GeoCols.cellBoxPredicate(col("lat"), col("lon"), r,
+        CellId.cellY(b.minLat, r), CellId.cellY(b.maxLat, r),
+        CellId.cellX(b.minLon, r), CellId.cellX(b.maxLon, r)))
+      .filter(GeoCols.inBox(col("lat"), col("lon"), b))
       .select(col("id"), col("lat"), col("lon"))
-  }
 
   /** Serial-baseline range scan (op #12): the same predicate with pruning
     * disabled — the degenerate plan the reference times in
@@ -83,35 +80,47 @@ object SpatialOps {
     */
   def knnRing(points: DataFrame, qLat: Double, qLon: Double, k: Int,
               r: Int = Fixtures.JoinRes): DataFrame = {
-    val cellPts = withCell(points, r).withColumn("d2",
-      GeoCols.d2(col("lat"), col("lon"), qLat, qLon))
-    val qCell = CellId.grid(qLat, qLon, r)
-    val maxRing = CellId.n(r) // full-grid fallback bound
+    val zPts = points
+      .withColumn("d2", GeoCols.d2(col("lat"), col("lon"), qLat, qLon))
+    val qy = CellId.cellY(qLat, r); val qx = CellId.cellX(qLon, r)
+    val hi = CellId.n(r) - 1
     val minStep = math.min(CellId.latStep(r), CellId.lonStep(r))
+    // predicate for the cell box of half-width w around the query cell —
+    // a four-comparison rectangle check, never an O(w²) IN list
+    def boxPred(w: Long): Column = GeoCols.cellBoxPredicate(col("lat"), col("lon"), r,
+      math.max(0L, qy - w), math.min(hi, qy + w),
+      math.max(0L, qx - w), math.min(hi, qx + w))
 
-    var probed = 0L
-    var cells = Vector(qCell)
+    // geometric half-width growth: ≤ log2(2^r) probe jobs total (vs one
+    // job per ring), each a cell-pruned filter + TakeOrderedAndProject
+    var w = 1L
     var done = false
-    while (!done && probed < maxRing) {
-      val cand = cellPts.filter(col("cell").isin(cells: _*))
-      val top = cand.orderBy(col("d2"), col("id")).limit(k)
+    while (!done && w < hi) {
+      val top = zPts.filter(boxPred(w)).orderBy(col("d2"), col("id")).limit(k)
         .agg(count(lit(1)).as("n"), max(col("d2")).as("dk")).collect()(0)
       val n = top.getLong(0)
       val dk = if (top.isNullAt(1)) Double.MaxValue else top.getDouble(1)
-      val guarantee = probed * minStep // unprobed points are >= this far
+      // unprobed points sit ≥ w cell-steps away from the query point
+      val guarantee = w * minStep
       if (n >= k && dk < guarantee * guarantee) done = true
-      else {
-        probed += 1
-        cells = cells ++ CellId.ring(qCell, r, probed)
-      }
+      else w *= 2
     }
-    val cand =
-      if (probed >= maxRing) cellPts // degenerate: probed everything
-      else cellPts.filter(col("cell").isin(cells: _*))
+    val cand = if (w >= hi) zPts else zPts.filter(boxPred(w))
     cand.orderBy(col("d2"), col("id")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("d2"), col("id"))).cast("long"))
       .select(col("rank"), col("id"), col("lat"), col("lon"), col("d2"))
+  }
+
+  /** Default single-point kNN (op #10): index-seeded one-job path when a
+    * [[graft.index.GlobalIndex]] exists (one driver-side radius bound from
+    * broadcast summaries → one pruned Spark job), expanding-ring probe
+    * otherwise. */
+  def knn(points: DataFrame, index: Option[graft.index.GlobalIndex],
+          qLat: Double, qLon: Double, k: Int,
+          r: Int = Fixtures.JoinRes): DataFrame = index match {
+    case Some(gi) => graft.index.GlobalIndex.knnIndexed(points, gi, qLat, qLon, k, r)
+    case None     => knnRing(points, qLat, qLon, k, r)
   }
 
   /** Radius sweep (Benchmark.java:126-154 as a query): counts of points
@@ -198,22 +207,31 @@ object SpatialOps {
     */
   def boxJoinSalted(points: DataFrame, boxes: Seq[(Int, MBR)],
                     r: Int = Fixtures.JoinRes, saltFactor: Int = 8,
-                    hotThreshold: Double = 0.05): DataFrame = {
+                    hotThreshold: Double = 0.05,
+                    hotCells: Option[Set[Long]] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val pts = withCell(points, r)
-    val total = pts.count()
-    val hotCells = pts.groupBy("cell").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > (total * hotThreshold).toLong)
-      .collect().map(_.getLong(0)).toSet
+    // Hot-cell stats belong at WRITE time (SnapshotStore manifests /
+    // tileHistogram persisted with the table — see hotCellsFromHistogram);
+    // callers pass them in and the join plan adds ZERO extra scans. The
+    // fallback computes them here with ONE aggregate pass (histogram →
+    // driver; total derived from the histogram, not a second count scan).
+    val hot: Set[Long] = hotCells.getOrElse {
+      val hist = pts.groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+      val total = hist.map(_._2).sum
+      hist.filter(_._2 > total * hotThreshold).map(_._1).toSet
+    }
     val cells = boxes.flatMap { case (bid, b) =>
       CellId.cover(b, r).flatMap { c =>
-        val salts = if (hotCells.contains(c)) 0 until saltFactor else Seq(0)
+        val salts = if (hot.contains(c)) 0 until saltFactor else Seq(0)
         salts.map(s => (bid, c, s, b.minLat, b.minLon, b.maxLat, b.maxLon))
       }
     }.toDF("box_id", "bcell", "bsalt", "minlat", "minlon", "maxlat", "maxlon")
     val salted = pts.withColumn("salt",
-      when(col("cell").isInCollection(hotCells.toSeq.take(1000)),
+      if (hot.isEmpty) lit(0)
+      else when(col("cell").isInCollection(hot),
         pmod(xxhash64(col("id")), lit(saltFactor)).cast("int"))
         .otherwise(lit(0)))
     salted.join(cells,
@@ -221,6 +239,16 @@ object SpatialOps {
       .filter(col("lat") >= col("minlat") && col("lat") <= col("maxlat") &&
               col("lon") >= col("minlon") && col("lon") <= col("maxlon"))
       .select(col("box_id"), col("id"))
+  }
+
+  /** Derive the salted-join hot-cell set from a persisted per-cell
+    * histogram (the [[tileHistogram]] output a stored table keeps next to
+    * its manifest) — the write-time stats path for [[boxJoinSalted]]. */
+  def hotCellsFromHistogram(hist: DataFrame, hotThreshold: Double = 0.05): Set[Long] = {
+    val rows = hist.select(col("cell"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    rows.filter(_._2 > total * hotThreshold).map(_._1).toSet
   }
 
   /** kNN join (op #10 batched): small query set broadcast against the point
@@ -317,17 +345,27 @@ object SpatialOps {
     }.toDF("q_id", "qlat", "qlon", "qc")
     val d2 = GeoCols.d2Cols(col("lat"), col("lon"), col("qlat"), col("qlon"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
+    // materialize the pruned top-k once (≤ |Q|·k rows): the exactness
+    // audit and the final output both read it without re-running the join
     val pruned = withCell(points, r)
       .join(broadcast(qcells), col("cell") === col("qc"))
       .withColumn("d2", d2)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    // exactness check: kth distance must sit inside the ring guarantee
+      .localCheckpoint(true)
+    // exactness check against the FULL query list (not just queries that
+    // found candidates): a query whose ring cells are empty never appears
+    // in `pruned` at all and must fall back to the dense join too
     val guarantee = rings * math.min(CellId.latStep(r), CellId.lonStep(r))
-    val bad = pruned.groupBy("q_id")
+    val perQ = pruned.groupBy("q_id")
       .agg(count(lit(1)).as("n"), max(col("d2")).as("dk"))
-      .filter(col("n") < k || col("dk") >= lit(guarantee * guarantee))
-      .select("q_id").collect().map(_.getInt(0))
+      .collect().map(row => row.getInt(0) -> (row.getLong(1), row.getDouble(2))).toMap
+    val bad = queries.map(_._1).filter { qid =>
+      perQ.get(qid) match {
+        case None           => true // zero candidates in the probed rings
+        case Some((n, dk))  => n < k || dk >= guarantee * guarantee
+      }
+    }.toSet
     val exactPart = pruned.filter(!col("q_id").isin(bad.toSeq: _*))
       .select(col("q_id"), col("rank"), col("id"))
     if (bad.isEmpty) exactPart

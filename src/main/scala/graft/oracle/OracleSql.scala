@@ -32,10 +32,14 @@ object OracleSql {
       |  FROM lineitem
       |)""".stripMargin
 
-  /** Row-major grid cell id — SQL twin of [[graft.geo.GeoCols.cellCol]]. */
-  def cellSql(latE: String, lonE: String, r: Int): String =
-    s"CAST(FLOOR(($latE + 90.0) / ${d(CellId.latStep(r))}) AS BIGINT) * ${CellId.n(r)}" +
-      s" + CAST(FLOOR(($lonE + 180.0) / ${d(CellId.lonStep(r))}) AS BIGINT)"
+  /** Row-major grid cell id — SQL twin of [[graft.geo.GeoCols.cellCol]],
+    * including the [0, 2^r − 1] clamp (lat=90 / lon=180 edge parity). */
+  def cellSql(latE: String, lonE: String, r: Int): String = {
+    def idx(e: String, off: String, step: Double): String =
+      s"LEAST(GREATEST(CAST(FLOOR(($e + $off) / ${d(step)}) AS BIGINT), 0), ${CellId.n(r) - 1})"
+    s"${idx(latE, "90.0", CellId.latStep(r))} * ${CellId.n(r)}" +
+      s" + ${idx(lonE, "180.0", CellId.lonStep(r))}"
+  }
 
   def inBoxSql(b: MBR, latE: String = "lat", lonE: String = "lon"): String =
     s"$latE >= ${d(b.minLat)} AND $latE <= ${d(b.maxLat)} AND " +
@@ -59,6 +63,12 @@ object OracleSql {
   }
 
   // ---------- per-query oracle SQL ----------
+
+  /** Full derived cloud — the oracle for snapshot-store round trips
+    * (append/compact must be content-preserving). */
+  def allPoints: String =
+    s"""$pointsCte
+       |SELECT id, lat, lon FROM pts""".stripMargin
 
   def rangeBox(b: MBR): String =
     s"""$pointsCte

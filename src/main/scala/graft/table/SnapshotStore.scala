@@ -95,8 +95,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
   }
 
   /** Plan a read from the current snapshot; `box` prunes manifest entries
-    * whose lat/lon range cannot intersect it. Returns (files read, total
-    * files) alongside the DataFrame so callers/tests can observe pruning. */
+    * whose lat/lon range cannot intersect it AND pushes a Z-range
+    * disjunction over the materialized `__z` sort key, so parquet min/max
+    * row-group stats skip within the surviving files too (the file- and
+    * page-level halves of the reference's subtree prune). The returned
+    * frame is a SUPERSET of the box's rows — callers refine exactly.
+    * Returns (files read, total files) alongside the DataFrame so
+    * callers/tests can observe pruning. */
   def read(box: Option[MBR] = None): (DataFrame, Int, Int) = {
     // drop compaction lineage markers (zero-file entries kept only so
     // resumableRun still recognizes pre-compaction units as committed)
@@ -110,7 +115,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
     val df =
       if (kept.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
       else spark.read.parquet(kept.map(_.path): _*)
-    (df.drop("__z"), kept.size, entries.size)
+    val zPruned = box match {
+      case Some(b) if kept.nonEmpty =>
+        val ranges = CellId.zRangesForMbr(b, zRes, maxRanges = 64)
+        df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
+      case _ => df
+    }
+    (zPruned.drop("__z"), kept.size, entries.size)
   }
 
   /** Compaction — the distributed analog of the reference's forced-

@@ -54,13 +54,48 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
-  test("morton round-trip") {
+  test("morton round-trip (full 32-bit inputs, spread/squash documented range)") {
     val r0 = rng
     for (_ <- 1 to 5000) {
-      val y = r0.nextLong() & ((1L << 15) - 1)
-      val x = r0.nextLong() & ((1L << 15) - 1)
+      val y = r0.nextLong() & 0xFFFFFFFFL
+      val x = r0.nextLong() & 0xFFFFFFFFL
       val z = CellId.morton(y, x)
-      assert(CellId.mortonY(z) == y && CellId.mortonX(z) == x)
+      assert(CellId.mortonY(z) == y && CellId.mortonX(z) == x, s"y=$y x=$x")
+    }
+    // the exact boundary the old squash mask corrupted: bits 16-31 set
+    val y = 0xFFFF0000L; val x = 0x00010000L
+    assert(CellId.mortonY(CellId.morton(y, x)) == y)
+    assert(CellId.mortonX(CellId.morton(y, x)) == x)
+  }
+
+  test("zRangesForBox covers exactly the box's cells (ascending, disjoint)") {
+    val r0 = rng
+    for (r <- Seq(3, 5); _ <- 1 to 20) {
+      val hi = CellId.n(r) - 1
+      val y0 = math.abs(r0.nextLong()) % (hi + 1); val y1 = math.min(hi, y0 + math.abs(r0.nextLong()) % 7)
+      val x0 = math.abs(r0.nextLong()) % (hi + 1); val x1 = math.min(hi, x0 + math.abs(r0.nextLong()) % 7)
+      // (r=8 exhaustive check below would be 65k cells × 20 reps — r≤5 keeps it fast)
+      val ranges = CellId.zRangesForBox(y0, y1, x0, x1, r)
+      // ascending + disjoint (no adjacent-mergeable seams)
+      ranges.sliding(2).foreach { case Seq((_, h), (l, _)) => assert(h + 1 < l) case _ => () }
+      val inRanges = (z: Long) => ranges.exists { case (lo, hiR) => z >= lo && z <= hiR }
+      for (y <- 0L to hi; x <- 0L to hi) {
+        val inBox = y >= y0 && y <= y1 && x >= x0 && x <= x1
+        assert(inRanges(CellId.morton(y, x)) == inBox, s"r=$r box=($y0..$y1,$x0..$x1) cell=($y,$x)")
+      }
+    }
+  }
+
+  test("zRangesForBox maxRanges coalesce stays a superset covering") {
+    val r = 8
+    val ranges = CellId.zRangesForBox(10, 200, 17, 230, r, maxRanges = 16)
+    assert(ranges.size <= 16)
+    val r0 = rng
+    for (_ <- 1 to 2000) {
+      val y = 10 + math.abs(r0.nextLong()) % 191
+      val x = 17 + math.abs(r0.nextLong()) % 214
+      val z = CellId.morton(y, x)
+      assert(ranges.exists { case (lo, hi) => z >= lo && z <= hi })
     }
   }
 

@@ -150,6 +150,54 @@ class SpatialOpsSpec extends AnyFunSuite {
            norm(SpatialOps.knnJoin(pts, Fixtures.knnQueries.take(3), 200)))
   }
 
+  test("knnJoinPruned falls back for queries with ZERO ring candidates") {
+    // points confined to one corner; one query sits in empty space at a
+    // fine resolution — its ring cells hold no points, so it never appears
+    // in the pruned inner join and MUST come from the dense fallback
+    import spark.implicits._
+    val corner = (1 to 50).map(i => (i.toLong, 0.1 * i, 0.05 * i)).toDF("id", "lat", "lon")
+    val queries = Seq((0, 1.0, 1.0), (1, 80.0, 170.0)) // q1 is the outlier
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(t => t).toSeq
+    val got = norm(SpatialOps.knnJoinPruned(corner, queries, 3, r = 10, rings = 1))
+    val exp = norm(SpatialOps.knnJoin(corner, queries, 3))
+    assert(got == exp)
+    assert(got.count(_._1 == 1) == 3, "outlier query must still return k rows")
+  }
+
+  test("boxJoinSalted with precomputed (write-time) hot cells == boxJoin") {
+    val hist = SpatialOps.tileHistogram(pts, Fixtures.JoinRes)
+    val hot = SpatialOps.hotCellsFromHistogram(hist, hotThreshold = 0.01)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(t => t).toSeq
+    assert(norm(SpatialOps.boxJoinSalted(pts, Fixtures.boxes, hotCells = Some(hot))) ==
+           norm(SpatialOps.boxJoin(pts, Fixtures.boxes)))
+    // empty hot set (uniform data) degenerates to the plain join
+    assert(norm(SpatialOps.boxJoinSalted(pts, Fixtures.boxes, hotCells = Some(Set.empty))) ==
+           norm(SpatialOps.boxJoin(pts, Fixtures.boxes)))
+  }
+
+  test("adaptive resolution: pickResolution-chosen r differs by scale, results don't") {
+    val n1 = rows.length.toLong            // sf0.001 ≈ 6k rows
+    val n2 = n1 * 100                      // the 100× scale-up design check
+    val r1 = graft.geo.CellId.pickResolution(n1, 64)
+    val r2 = graft.geo.CellId.pickResolution(n2, 64)
+    assert(r2 > r1, s"resolution should refine with scale: r1=$r1 r2=$r2")
+    for (r <- Seq(r1, r2); (_, b) <- Fixtures.boxes.take(3)) {
+      val got = SpatialOps.rangeBox(pts, b, r).select("id").collect().map(_.getLong(0)).toSet
+      val exp = rows.filter { case (_, la, lo) => b.contains(la, lo) }.map(_._1).toSet
+      assert(got == exp, s"box $b at r=$r")
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(t => t).toSeq
+    assert(norm(SpatialOps.boxJoin(pts, Fixtures.boxes, r1)) ==
+           norm(SpatialOps.boxJoin(pts, Fixtures.boxes, r2)))
+    def normP(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(t => t).toSeq
+    assert(normP(SpatialOps.pipJoin(pts, Fixtures.polys, r1)) ==
+           normP(SpatialOps.pipJoin(pts, Fixtures.polys, r2)))
+  }
+
   test("tile assignment is total, single-cell, and parallelism-invariant") {
     val a4 = SpatialOps.tileAssign(pts, Fixtures.TileRes).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(t => t).toSeq
