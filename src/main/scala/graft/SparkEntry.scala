@@ -37,7 +37,11 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val root = java.nio.file.Files.createTempDirectory("graft_q02_").toString
       val store = new graft.table.SnapshotStore(s, root)
-      store.append(Points(s, dir), "unit-all")
+      // partition count sized to the unit (~rows/100k), not to cores: at
+      // sf scales a 32-way split writes 32 tiny files per unit and the
+      // per-file stats pass dominates (at 100 TB the same knob comes from
+      // maxPartitionBytes)
+      store.append(Points(s, dir), "unit-all", numPartitions = 8)
       store.read()._1.select(col("id"), col("lat"), col("lon"))
     }),
     // compaction round trip (op #6 forced-reinsert analog,
@@ -49,7 +53,8 @@ object SparkEntry {
       val store = new graft.table.SnapshotStore(s, root)
       val pts = Points(s, dir)
       (0 until 3).foreach(u =>
-        store.append(pts.filter(pmod(col("id"), lit(3)) === u), s"unit-$u"))
+        store.append(pts.filter(pmod(col("id"), lit(3)) === u), s"unit-$u",
+          numPartitions = 4))
       store.compact(numPartitions = 4)
       store.read()._1.select(col("id"), col("lat"), col("lon"))
     }),
@@ -92,6 +97,7 @@ object SparkEntry {
     "q30_window_agg" -> ((s, dir) =>
       EventOps.windowAgg(s.read.parquet(s"$dir/events.parquet"))),
     "q31_stream_window" -> ((s, dir) => EventOps.streamWindowAgg(s, dir)),
+    "q32_stream_dedup" -> ((s, dir) => Dedup.streamDedup(s, dir)),
     // --- spatial scale-path variants (same semantics, different plans) ---
     "q17b_pip_broadcast" -> ((s, dir) =>
       SpatialOps.pipJoinBroadcast(Points(s, dir), Fixtures.polys)),
@@ -167,5 +173,9 @@ object SparkEntry {
     "q29_embed_neardup" -> OracleSql.nearDupPairs(29, 250000L),
     "q30_window_agg" -> OracleSql.windowAgg,
     "q31_stream_window" -> OracleSql.windowAgg,
+    // streaming ingestion-time dedup drained to the batch shape — one
+    // micro-batch over the single-file source, so first-wins == min id
+    // and the batch GROUP BY text oracle applies verbatim
+    "q32_stream_dedup" -> OracleSql.dedupExact,
   )
 }

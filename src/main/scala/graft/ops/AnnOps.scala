@@ -15,19 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object AnnOps {
 
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  // native Cast (codegen'd, per-element) — NOT transform(_, _.cast(...)),
+  // whose lambda would run interpreted per element
+  private def toDouble(v: Column): Column = v.cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product ([[graft.functions.VecDot]] via the graft_dot
+    * registration): ascending-index left-fold sum, bit-identical to the
+    * interpreted HOF formulation and to the DuckDB oracle, ~100× cheaper
+    * per row on 64-dim vectors. */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   def simq(sim: Column): Column = floor(sim * lit(1000000)).cast("long")
 
-  private def withNorm(emb: DataFrame): DataFrame =
+  private def withNorm(emb: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.install(emb.sparkSession) // idempotent
     emb.select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   /** Brute-force cosine top-k (the correctness baseline): broadcast the
     * query vectors, one map-side pass over all embeddings, per-query top-k.

@@ -145,6 +145,60 @@ object Dedup {
     OpUtil.finish(out, base)
   }
 
+  /** Streaming exact dedup (ingestion-time): the Structured Streaming form
+    * of [[exact]]. Keyed by the same 128-bit content hash; per key a
+    * [[org.apache.spark.sql.streaming.GroupState]] holds the keeper doc_id
+    * (16-byte key + 8-byte value — state stays tiny no matter the corpus).
+    * Each arriving document emits one assignment row
+    * `(doc_id, keeper_id, is_first)`: the downstream pipeline keeps
+    * is_first rows and routes duplicates to their keeper. Keeper = min
+    * doc_id seen so far (within a micro-batch the min is taken across the
+    * batch, so intra-batch arrival order never matters; across batches it
+    * is first-wins, the ingestion-time contract). */
+  def streamDedupAssign(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(col("doc_id"), xxhash64(col("text")).as("h1"),
+        xxhash64(lit("graft-dedup-2"), col("text")).as("h2"))
+      .as[(Long, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, Long), rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) => {
+          val ids = rows.map(_._1).toArray.sorted
+          val known = state.getOption
+          // first-wins: the keeper assigned when the key first appears is
+          // stable forever (already-emitted assignments can't be revised
+          // in append mode) — min over the first batch makes intra-batch
+          // order irrelevant
+          val keeper = known.getOrElse(ids.head)
+          state.update(keeper)
+          ids.iterator.map(id => (id, keeper, known.isEmpty && id == keeper))
+        })
+      .toDF("doc_id", "keeper_id", "is_first")
+  }
+
+  /** Drain [[streamDedupAssign]] over a parquet file source and reduce the
+    * assignments to the batch [[exact]] shape (keeper_id, n_copies) — the
+    * driver-facing stream==batch check (same pattern as
+    * [[EventOps.streamWindowAgg]]). */
+  def streamDedup(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  glob: String = "documents.parquet"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val name = s"graft_dedup_stream_${System.nanoTime()}"
+    val src = spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
+    val q = streamDedupAssign(src).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("keeper_id")).agg(count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+  }
+
   /** 64-bit SimHash over token hashes: per bit, sum ±1 across tokens
     * (with multiplicity), set bit if positive. Typed kernel (the 64-bit ×
     * |tokens| loop is interpreter-hostile as Column HOFs — same finding as

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * surface to plain SQL (`spark.sql("SELECT graft_cell(lat, lon, 6) ...")`)
   * so a SQL-only user of the reference can switch without the Scala API.
   *
-  * Each function BUILDS a tree of built-in expressions (the same shapes as
-  * [[graft.geo.GeoCols]]) rather than introducing new Expression classes —
-  * codegen, pushdown, and constant folding apply unchanged (SURVEY.md
-  * §4.3: no custom Rule/Strategy needed).
+  * The geo functions BUILD trees of built-in expressions (the same shapes
+  * as [[graft.geo.GeoCols]]) — codegen, pushdown, and constant folding
+  * apply unchanged (SURVEY.md §4.3: no custom Rule/Strategy needed).
+  * `graft_dot` is the one custom Expression ([[graft.functions.VecDot]]):
+  * built-ins can only express a dot product through interpreted HOF
+  * lambdas, which is exactly the case the extension ladder reserves for a
+  * native codegen'd Expression.
   *
   * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -75,7 +78,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => latFromPhash(Cast(args.head, LongType))),
       (FunctionIdentifier("graft_lon"),
         info("graft_lon", "graft_lon(phash) - derived longitude from the 64-bit phash"),
-        (args: Seq[Expression]) => lonFromPhash(Cast(args.head, LongType))))
+        (args: Seq[Expression]) => lonFromPhash(Cast(args.head, LongType))),
+      // the one genuinely custom Expression (codegen'd primitive loop —
+      // HOF lambdas run interpreted and dominate ANN scans otherwise)
+      (FunctionIdentifier("graft_dot"),
+        info("graft_dot", "graft_dot(array<double>, array<double>) - codegen'd dot product"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_dot(a, b)")
+          graft.functions.VecDot(
+            Cast(args(0), org.apache.spark.sql.types.ArrayType(DoubleType)),
+            Cast(args(1), org.apache.spark.sql.types.ArrayType(DoubleType)))
+        }))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =

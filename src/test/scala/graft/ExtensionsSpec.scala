@@ -48,4 +48,44 @@ class ExtensionsSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(!plan.toLowerCase.contains("udf"))
   }
+
+  test("graft_dot: codegen'd VecDot == interpreted HOF formulation, from SQL and Column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 131 + d * 17) % 97 - 48) / 7.0f))
+    }.toDF("vid", "v")
+    vecs.createOrReplaceTempView("vecs")
+    // reference: the interpreted HOF left-fold this expression replaces
+    val hof = vecs.select(col("vid"),
+      aggregate(zip_with(col("v").cast("array<double>"), col("v").cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaSql = spark.sql(
+      "SELECT vid, graft_dot(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) AS d FROM vecs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaCol = vecs.select(col("vid"),
+      call_function("graft_dot", col("v").cast("array<double>"),
+        col("v").cast("array<double>")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == hof, "SQL graft_dot must be bit-identical to the HOF left-fold")
+    assert(viaCol == hof)
+    // implicit float->double array cast path
+    val viaImplicit = spark.sql("SELECT vid, graft_dot(v, v) AS d FROM vecs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaImplicit == hof)
+    // mismatched lengths bound the loop; stays inside whole-stage codegen
+    val short = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 20.0d)) AS d").collect()(0).getDouble(0)
+    assert(short == 50.0)
+    // plan check needs a non-local relation (ConvertToLocalRelation folds
+    // projections over a LocalTableScan at optimize time)
+    val q = vecs.repartition(2)
+      .select(call_function("graft_dot", col("v").cast("array<double>"),
+        col("v").cast("array<double>")))
+    q.collect() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan toString
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+  }
 }

@@ -143,6 +143,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // random embeddings: routing is weak by nature
   }
 
+  test("streaming dedup (GroupState) == batch exact dedup, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val name = "graft_stream_dedup_spec"
+    val q = Dedup.streamDedupAssign(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // three ascending micro-batches: first-wins == min doc_id
+      for (chunk <- rows.grouped(math.max(1, rows.length / 3 + 1))) {
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val assigns = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(assigns.length == rows.length, "one assignment per ingested doc")
+    val gotGroups = assigns.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expGroups = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotGroups == expGroups)
+    // is_first marks exactly the keepers; duplicates spanning batches
+    // keep the first batch's keeper
+    assert(assigns.filter(_._3).map(_._1).toSet == expGroups.keySet)
+    assigns.foreach { case (_, keeper, _) => assert(expGroups.contains(keeper)) }
+  }
+
   test("streaming windowed agg == batch windowed agg") {
     val batch = EventOps.windowAgg(spark.read.parquet(s"$dir/events.parquet"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
