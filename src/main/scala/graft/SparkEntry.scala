@@ -58,6 +58,18 @@ object SparkEntry {
       store.compact(numPartitions = 4)
       store.read()._1.select(col("id"), col("lat"), col("lon"))
     }),
+    // row-level delete (Iceberg-v2 equality tombstones): append, delete
+    // one fixture box's rows, read back merge-on-read — the complement
+    // must survive exactly
+    "q05_delete_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("graft_q05_").toString
+      val store = new graft.table.SnapshotStore(s, root)
+      store.append(Points(s, dir), "unit-all", numPartitions = 8)
+      store.deleteWhere(graft.geo.GeoCols.inBox(col("lat"), col("lon"),
+        Fixtures.boxes.head._2), "del-box1")
+      store.read()._1.select(col("id"), col("lat"), col("lon"))
+    }),
     "q03_point_lookup" -> ((s, dir) => SpatialOps.pointLookup(Points(s, dir), 8L, 256L)),
     "q04_index_summary" -> ((s, dir) => SpatialOps.indexSummary(Points(s, dir), 3)),
     "q07_bulkload_leaves" -> ((s, dir) => SpatialOps.bulkloadLeaves(Points(s, dir))),
@@ -142,6 +154,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q02_snapshot_scan" -> OracleSql.allPoints,
+    "q05_delete_scan" -> OracleSql.allPointsExcept(Fixtures.boxes.head._2),
     "q06_compact_scan" -> OracleSql.allPoints,
     "q03_point_lookup" -> OracleSql.pointLookup(8L, 256L),
     "q04_index_summary" -> OracleSql.indexSummary(3),

@@ -70,6 +70,12 @@ object OracleSql {
     s"""$pointsCte
        |SELECT id, lat, lon FROM pts""".stripMargin
 
+  /** Cloud minus a box — the oracle for row-level (equality) deletes:
+    * deleting the box's rows must leave exactly the complement. */
+  def allPointsExcept(b: MBR): String =
+    s"""$pointsCte
+       |SELECT id, lat, lon FROM pts WHERE NOT (${inBoxSql(b)})""".stripMargin
+
   def rangeBox(b: MBR): String =
     s"""$pointsCte
        |SELECT id, lat, lon FROM pts WHERE ${inBoxSql(b)}""".stripMargin

@@ -5,14 +5,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
-/** One data file tracked by a snapshot, with its pruning stats and the
+/** One file tracked by a snapshot, with its pruning stats and the
   * lineage unit that produced it — the manifest-entry analog of an Iceberg
   * DataFile (per-file cell-range stats replace the reference's per-node
-  * MBRs, IndexFile.java:37-95, at file granularity). */
+  * MBRs, IndexFile.java:37-95, at file granularity).
+  *
+  * `kind` is "data" for data files, "delete" for equality-delete
+  * tombstone files (Iceberg-v2-shaped: a parquet of (id, lat, lon) rows
+  * whose exact matches are dead in every data file of this and later
+  * snapshots until a compaction purges them). */
 final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
                            minLat: Double, maxLat: Double,
                            minLon: Double, maxLon: Double,
-                           lineageId: String, wallMs: Long)
+                           lineageId: String, wallMs: Long,
+                           kind: String = "data")
 
 /** Minimal Iceberg-shaped table format (SURVEY.md §7.4). Real Iceberg jars
   * aren't in this environment, so the same semantics are implemented
@@ -105,7 +111,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
   def read(box: Option[MBR] = None): (DataFrame, Int, Int) = {
     // drop compaction lineage markers (zero-file entries kept only so
     // resumableRun still recognizes pre-compaction units as committed)
-    val entries = manifest().filter(_.path.nonEmpty)
+    val all = manifest().filter(_.path.nonEmpty)
+    val entries = all.filter(_.kind == "data")
+    val deletes = all.filter(_.kind == "delete")
     val kept = box match {
       case None => entries
       case Some(b) => entries.filter(e =>
@@ -121,7 +129,43 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
         df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
       case _ => df
     }
-    (zPruned.drop("__z"), kept.size, entries.size)
+    // merge-on-read equality deletes: broadcast anti-join on the exact
+    // row (deltas are small between compactions; compact() folds them in
+    // and purges the tombstones, bounding this side)
+    val live =
+      if (deletes.isEmpty) zPruned
+      else zPruned.join(
+        broadcast(spark.read.parquet(deletes.map(_.path): _*)
+          .select(col("id"), col("lat"), col("lon"))),
+        Seq("id", "lat", "lon"), "left_anti")
+    (live.drop("__z"), kept.size, entries.size)
+  }
+
+  /** Row-level delete (Iceberg-v2 equality-delete shape): materialize the
+    * CURRENT snapshot's rows matching `cond` as (id, lat, lon) tombstones
+    * and commit them as a `kind="delete"` manifest entry. Readers apply
+    * tombstones merge-on-read ([[read]]); [[compact]] rewrites the data
+    * with deletes applied and purges the tombstones (copy-on-write
+    * repair). Equality is on the full row, so distinct rows sharing an id
+    * (the derived cloud has them) delete independently. */
+  def deleteWhere(cond: org.apache.spark.sql.Column, lineageId: String): Long = {
+    val t0 = System.nanoTime()
+    val (df, _, _) = read()
+    val unitDir = s"$root/data/$lineageId-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.filter(cond).select(col("id"), col("lat"), col("lon"))
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val stats = spark.read.parquet(unitDir)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("lat")).as("minLat"), max(col("lat")).as("maxLat"),
+        min(col("lon")).as("minLon"), max(col("lon")).as("maxLon"))
+      .collect()
+      .map(r => FileEntry(r.getString(0), r.getLong(1), 0L, 0L,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        lineageId, wallMs, kind = "delete"))
+    commit(stats.toSeq)
   }
 
   /** Compaction — the distributed analog of the reference's forced-

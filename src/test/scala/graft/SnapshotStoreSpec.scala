@@ -23,6 +23,34 @@ class SnapshotStoreSpec extends AnyFunSuite {
 
   lazy val pts = Points(spark, "/root/testdata/sf0.001").cache()
 
+  test("equality deletes: merge-on-read excludes, compact purges tombstones") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts, "unit-0", numPartitions = 4)
+    val box = MBR(10.0, 30.0, 25.0, 60.0)
+    val inBox = graft.geo.GeoCols.inBox(col("lat"), col("lon"), box)
+    st.deleteWhere(inBox, "del-0")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.select("id", "lat", "lon")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val exp = norm(pts.filter(!inBox))
+    assert(exp.nonEmpty && exp.size < pts.count())
+    // merge-on-read: tombstones applied at read time
+    val afterDelete = norm(st.read()._1)
+    assert(afterDelete == exp)
+    // tombstones present in the manifest until compaction...
+    assert(st.manifest().exists(_.kind == "delete"))
+    // ...and a second delete composes
+    st.deleteWhere(col("id") === exp.head._1, "del-1")
+    val afterSecond = norm(st.read()._1)
+    assert(afterSecond == exp.filterNot(_._1 == exp.head._1))
+    // compact applies deletes copy-on-write and purges tombstones
+    st.compact(numPartitions = 2)
+    assert(!st.manifest().exists(_.kind == "delete"))
+    assert(norm(st.read()._1) == afterSecond)
+    // delete lineage survives as markers (resumable runs skip them)
+    assert(st.committedLineage.contains("del-0") && st.committedLineage.contains("del-1"))
+  }
+
   test("append + read round-trips; snapshots are monotonic") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
