@@ -145,6 +145,14 @@ object SparkEntry {
     "q42_image_resize" -> ((s, _) =>
       graft.ops.ImageOps.resize(graft.data.Synth.table(s, 200).toDF(), 16)
         .toDF().select("image_id", "w", "h")),
+    // visual near-dup dedup on the image table: phash quarter blocking
+    // over originals + planted JPEG re-encodes (deterministic; recall
+    // pinned in ImageOpsSpec; rows-only driver check — phash arithmetic
+    // is not SQL-expressible)
+    "q43_image_neardup" -> ((s, _) =>
+      graft.ops.ImageOps.phashNearDup(
+        graft.ops.ImageOps.withPlantedNearDups(
+          graft.data.Synth.table(s, 400).toDF(), everyN = 20))),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =

@@ -83,6 +83,51 @@ object ImageOps {
       })
   }
 
+  /** Visual near-duplicate pairs over the image table — the image-payload
+    * twin of [[Dedup.simhashPairs]]: block the stored 64-bit perceptual
+    * hash on its four 16-bit quarters (Hamming ≤ 3 ⇒ at least one quarter
+    * is bit-equal), equi-join blocks, refine with bit_count(xor). At 10¹²
+    * images the quarter-block equi-join is the only feasible all-pairs
+    * path, and because phash is table METADATA the bytes column never
+    * leaves the scan (plan-verified column pruning). */
+  def phashNearDup(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocked = images.select(col("image_id"), col("phash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftrightunsigned(col("phash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qh")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+          col("a.image_id") < col("b.image_id"))
+      .select(col("a.image_id").as("a_id"), col("b.image_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic near-duplicate plant: every `everyN`-th image decoded,
+    * re-encoded as high-quality JPEG (same pixels module lossy error),
+    * appended with a `<id>_p` image_id — the fixture generator for
+    * [[phashNearDup]] recall checks and the q43 driver query. */
+  def withPlantedNearDups(images: DataFrame, everyN: Int): DataFrame = {
+    import images.sparkSession.implicits._
+    val planted = images
+      .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .as[(String, Array[Byte], Int, Int, String, String, Long)]
+      .mapPartitions(_.flatMap { case (id, bytes, w, h, _, cap, _) =>
+        val n = id.stripPrefix("img").toLong // Synth ids: img%012d
+        if (n % everyN != 0) Iterator.empty
+        else {
+          val img = Codec.decode(bytes)
+          val re = Codec.encodeJpeg(img, 0.97f)
+          Iterator.single((s"${id}_p", re, w, h, "jpeg", cap,
+            Codec.pHash64(Codec.decode(re))))
+        }
+      })
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .unionAll(planted)
+  }
+
   case class Resized(image_id: String, bytes: Array[Byte], w: Int, h: Int)
 
   /** Resize to a bounding square, re-encode PNG (lossless so downstream

@@ -21,6 +21,29 @@ class ImageOpsSpec extends AnyFunSuite {
 
   lazy val images = Synth.table(spark, 48, seed = 5L).toDF().cache()
 
+  test("phashNearDup: planted JPEG re-encodes recalled via quarter blocking") {
+    val planted = ImageOps.withPlantedNearDups(images, everyN = 4).cache()
+    assert(planted.count() == 48 + 12)
+    val pairs = ImageOps.phashNearDup(planted).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // every planted (original, reencode) pair must surface with small hamming
+    val plantedIds = planted.select("image_id").collect().map(_.getString(0))
+      .filter(_.endsWith("_p")).map(_.stripSuffix("_p"))
+    assert(plantedIds.nonEmpty)
+    for (orig <- plantedIds) {
+      val hit = pairs.find(p => p._1 == orig && p._2 == s"${orig}_p")
+      assert(hit.isDefined, s"planted pair for $orig not recalled")
+      assert(hit.get._3 <= 3)
+    }
+    // blocking is sound: emitted pairs genuinely sit within the bound
+    val ph = planted.select("image_id", "phash").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(ph(a) ^ ph(b)) == h && h <= 3)
+    }
+    planted.unpersist()
+  }
+
   test("decodeStats: real decode, stats match direct computation") {
     val got = ImageOps.decodeStats(images).collect().map(s => s.image_id -> s).toMap
     assert(got.size == 48 && got.values.forall(_.ok))
