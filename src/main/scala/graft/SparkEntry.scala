@@ -90,6 +90,7 @@ object SparkEntry {
     "q17_pip_join" -> ((s, dir) => SpatialOps.pipJoin(Points(s, dir), Fixtures.polys)),
     // --- training-data pipeline ops over documents/embeddings/events ---
     "q20_token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
+    "q20b_token_bpe" -> ((s, dir) => TextOps.tokenCountBpe(docs(s, dir))),
     "q21_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
     "q22_lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "q23_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -105,6 +106,8 @@ object SparkEntry {
       AnnOps.annIvf(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q28c_ann_lsh" -> ((s, dir) =>
       AnnOps.annLsh(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+    "q28d_ann_ivf_kmeans" -> ((s, dir) =>
+      AnnOps.annIvfKmeans(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q29_embed_neardup" -> ((s, dir) => AnnOps.nearDupPairs(emb(s, dir), 29, 250000L)),
     "q30_window_agg" -> ((s, dir) =>
       EventOps.windowAgg(s.read.parquet(s"$dir/events.parquet"))),
@@ -180,6 +183,7 @@ object SparkEntry {
     "q16_tile_histogram" -> OracleSql.tileHistogram(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
     "q20_token_count" -> OracleSql.tokenCount,
+    "q20b_token_bpe" -> OracleSql.tokenCountBpe(TextOps.BpeTokenPattern),
     "q21_quality" -> OracleSql.quality(Fixtures.stopwords),
     "q22_lang_id" -> OracleSql.langId(Fixtures.stopwords),
     "q23_dedup_exact" -> OracleSql.dedupExact,

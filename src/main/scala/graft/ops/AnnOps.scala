@@ -144,11 +144,17 @@ object AnnOps {
     * of (tiny) centroids; corpus side shuffles once on list id at build
     * time, never at query time. Approximate → verified by a recall spec,
     * rows-only driver check. */
-  def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int, nprobe: Int = 2): DataFrame = {
-    val e = withNorm(emb)
-    val dim = 64
+  def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int, nprobe: Int = 2): DataFrame =
+    annIvfLists(withNorm(emb).withColumn("list", col("label").cast("int")),
+      queryIds, k, nprobe)
+
+  /** IVF search over an arbitrary list assignment: centroid per list
+    * (element-wise mean), route each query to its nprobe nearest
+    * centroids, exact search within routed lists only. */
+  private def annIvfLists(e: DataFrame, queryIds: Seq[Int], k: Int,
+                          nprobe: Int): DataFrame = {
     // centroid per list: element-wise mean via posexplode + groupBy(list, dim)
-    val cent = e.select(col("label").as("list"), posexplode(col("v")))
+    val cent = e.select(col("list"), posexplode(col("v")))
       .groupBy("list", "pos").agg(avg(col("col")).as("c"))
       .groupBy("list").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("list"), transform(col("pc"), s => s.getField("c")).as("cv"))
@@ -161,14 +167,69 @@ object AnnOps {
     val routes = q.crossJoin(broadcast(cent))
       .withColumn("rr", row_number().over(wRoute))
       .filter(col("rr") <= nprobe)
-      .select(col("qid"), col("qv"), col("qnrm"), col("list"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("list").as("rlist"))
     // search only the routed lists
     val sim = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sq").desc, col("vec_id"))
-    e.join(broadcast(routes), e("label") === routes("list"))
+    e.join(broadcast(routes), col("list") === col("rlist"))
       .withColumn("sq", simq(sim))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("vid"), col("sq"))
+  }
+
+  /** Lloyd's k-means over the embedding corpus — the real IVF list
+    * builder ([[annIvf]]'s doc promises "k-means iterations of exactly
+    * this groupBy shape"; this is that op). Deterministic: init = the k
+    * lowest-vec_id vectors; assignment argmin breaks ties on cluster id;
+    * centroid means are quantized to 1e-6 after each update so
+    * double-sum partition-order noise can never flip an assignment.
+    * Each iteration is one broadcast-crossJoin assignment pass (distance
+    * via the codegen'd [[graft.functions.VecDot]]: |c|² − 2·v·c) and one
+    * posexplode mean aggregation — the corpus never reshuffles.
+    * Returns (assignments (vec_id, cluster), centroids (cluster, cv)). */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 4): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withNorm(emb).select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    def assignTo(cdf: DataFrame): DataFrame = {
+      val dist = dot(col("cv"), col("cv")) - lit(2.0) * dot(col("v"), col("cv"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))
+      e.crossJoin(broadcast(cdf))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("v"))
+    }
+    for (_ <- 1 to iters) {
+      val cdf = cents.toSeq.toDF("cluster", "cv")
+      val updated = assignTo(cdf)
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), s => s.getField("m")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[Double](1).map(m => math.floor(m * 1e6) / 1e6)))
+        .toMap
+      // a cluster that lost all members keeps its previous centroid
+      cents = cents.map { case (c, old) => (c, updated.getOrElse(c, old)) }
+    }
+    val cdf = cents.toSeq.toDF("cluster", "cv")
+    val assignments = assignTo(cdf).select(col("vec_id"), col("cluster"))
+    (OpUtil.finish(assignments, e), cdf)
+  }
+
+  /** IVF ANN over k-means lists (the end-to-end scale path: build lists
+    * once at write time with [[kmeans]], search with [[annIvfLists]]). */
+  def annIvfKmeans(emb: DataFrame, queryIds: Seq[Int], k: Int,
+                   kClusters: Int = 8, iters: Int = 4, nprobe: Int = 2): DataFrame = {
+    val (assign, _) = kmeans(emb, kClusters, iters)
+    val e = withNorm(emb)
+      .join(assign.withColumnRenamed("cluster", "list"), "vec_id")
+    annIvfLists(e, queryIds, k, nprobe)
   }
 }

@@ -29,6 +29,19 @@ object TextOps {
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
 
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * non-alphanumeric marks (the GPT-2 pre-tokenizer shape reduced to
+    * character classes both Java regex and RE2 interpret identically, so
+    * the DuckDB twin is bit-exact). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Subword-style token count: number of BPE-ish pre-token matches —
+    * the LLM-pipeline "token budget" estimate next to the whitespace
+    * count. Pure regexp_count Column, codegen'd, shuffle-free. */
+  def tokenCountBpe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(BpeTokenPattern)).cast("long").as("n_bpe_tokens"))
+
   /** Quality scoring: token count, stopword count/ratio, mean token length.
     * Integer counts + one final division — bit-identical to the SQL twin. */
   def quality(docs: DataFrame): DataFrame = {

@@ -177,6 +177,12 @@ object OracleSql {
   def tokenCount: String =
     "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
 
+  /** Twin of [[graft.ops.TextOps.tokenCountBpe]] — same character-class
+    * pattern, identical under Java regex and RE2. */
+  def tokenCountBpe(pattern: String): String =
+    s"SELECT doc_id, CAST(len(regexp_extract_all(text, '$pattern')) AS BIGINT)" +
+      " AS n_bpe_tokens FROM documents"
+
   def quality(stopwords: Seq[String]): String =
     s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
        |SELECT doc_id,

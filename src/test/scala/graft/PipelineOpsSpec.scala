@@ -143,6 +143,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // random embeddings: routing is weak by nature
   }
 
+  test("kmeans: total deterministic assignment; annIvfKmeans recall vs brute") {
+    val n = emb.count()
+    val (a1, c1) = AnnOps.kmeans(emb, k = 8, iters = 3)
+    val rows1 = a1.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(rows1.length == n, "every vector assigned exactly once")
+    assert(rows1.map(_._2).forall(c => c >= 0 && c < 8))
+    assert(rows1.map(_._2).distinct.size > 1, "degenerate single cluster")
+    assert(c1.count() == 8)
+    // deterministic across runs (quantized centroids kill sum-order noise)
+    val (a2, _) = AnnOps.kmeans(emb, k = 8, iters = 3)
+    assert(a2.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq == rows1)
+    val brute = AnnOps.cosineTopK(emb, Fixtures.annQueryIds, Fixtures.annK)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnOps.annIvfKmeans(emb, Fixtures.annQueryIds, Fixtures.annK, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // random embeddings: routing is weak by nature
+  }
+
   test("streaming dedup (GroupState) == batch exact dedup, across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
