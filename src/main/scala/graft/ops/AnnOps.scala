@@ -184,9 +184,13 @@ object AnnOps {
     * lowest-vec_id vectors; assignment argmin breaks ties on cluster id;
     * centroid means are quantized to 1e-6 after each update so
     * double-sum partition-order noise can never flip an assignment.
-    * Each iteration is one broadcast-crossJoin assignment pass (distance
-    * via the codegen'd [[graft.functions.VecDot]]: |c|² − 2·v·c) and one
-    * posexplode mean aggregation — the corpus never reshuffles.
+    * Each iteration is ONE shuffle-free pass: assignment is map-only
+    * (centroids as plan literals: k codegen'd [[graft.functions.VecDot]]
+    * distances |c|² − 2·v·c, argmin via array_min/array_position), and
+    * the mean update is a typed partial-sum kernel — each partition emits
+    * at most k (sum[dim], count) rows, folded on the driver in a stable
+    * (cluster, partition) order. The corpus never moves; per-iteration
+    * driver traffic is k·dim·partitions doubles.
     * Returns (assignments (vec_id, cluster), centroids (cluster, cv)). */
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 4): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
@@ -195,31 +199,52 @@ object AnnOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
-    def assignTo(cdf: DataFrame): DataFrame = {
-      val dist = dot(col("cv"), col("cv")) - lit(2.0) * dot(col("v"), col("cv"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))
-      e.crossJoin(broadcast(cdf))
-        .withColumn("dist", dist)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cluster"), col("v"))
+    // MAP-ONLY assignment: centroids are plan literals, so the argmin is
+    // k codegen'd graft_dot calls + array_min/array_position per row —
+    // no crossJoin, no N·k-row window shuffle, the corpus never moves.
+    // |c|² is folded driver-side; ties pick the lowest cluster id
+    // (array_position returns the FIRST index of the min).
+    def assignTo(cs: Array[(Int, Seq[Double])]): DataFrame = {
+      val dists = cs.sortBy(_._1).map { case (_, cv) =>
+        val c2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+        lit(c2) - lit(2.0) * dot(col("v"), typedlit(cv))
+      }
+      val dArr = array(dists.toIndexedSeq: _*)
+      e.withColumn("cluster",
+        (array_position(dArr, array_min(dArr)) - 1).cast("int"))
     }
     for (_ <- 1 to iters) {
-      val cdf = cents.toSeq.toDF("cluster", "cv")
-      val updated = assignTo(cdf)
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
-        .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"), transform(col("pm"), s => s.getField("m")).as("cv"))
-        .collect()
-        .map(r => (r.getInt(0),
-          r.getSeq[Double](1).map(m => math.floor(m * 1e6) / 1e6)))
-        .toMap
+      val partials = assignTo(cents)
+        .select(col("cluster"), col("v")).as[(Int, Seq[Double])]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val sums = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+          val cnts = scala.collection.mutable.HashMap.empty[Int, Long]
+          it.foreach { case (c, v) =>
+            val s = sums.getOrElseUpdate(c, new Array[Double](v.length))
+            var i = 0
+            while (i < v.length) { s(i) += v(i); i += 1 }
+            cnts(c) = cnts.getOrElse(c, 0L) + 1
+          }
+          sums.keysIterator.map(c => (pid, c, sums(c).toSeq, cnts(c))).toArray.iterator
+        }
+        .collect().sortBy(p => (p._2, p._1)) // stable fold order
+      val updated = partials.groupBy(_._2).map { case (c, ps) =>
+        val dim = ps.head._3.length
+        val tot = new Array[Double](dim)
+        var n = 0L
+        ps.foreach { p =>
+          var i = 0
+          while (i < dim) { tot(i) += p._3(i); i += 1 }
+          n += p._4
+        }
+        c -> tot.map(x => math.floor(x / n * 1e6) / 1e6).toSeq
+      }
       // a cluster that lost all members keeps its previous centroid
       cents = cents.map { case (c, old) => (c, updated.getOrElse(c, old)) }
     }
     val cdf = cents.toSeq.toDF("cluster", "cv")
-    val assignments = assignTo(cdf).select(col("vec_id"), col("cluster"))
+    val assignments = assignTo(cents).select(col("vec_id"), col("cluster"))
     (OpUtil.finish(assignments, e), cdf)
   }
 
