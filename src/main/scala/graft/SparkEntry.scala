@@ -88,6 +88,8 @@ object SparkEntry {
     "q15_tile_assign" -> ((s, dir) => SpatialOps.tileAssign(Points(s, dir))),
     "q16_tile_histogram" -> ((s, dir) => SpatialOps.tileHistogram(Points(s, dir))),
     "q17_pip_join" -> ((s, dir) => SpatialOps.pipJoin(Points(s, dir), Fixtures.polys)),
+    "q18_distance_join" -> ((s, dir) => SpatialOps.distanceJoin(Points(s, dir),
+      Fixtures.distEps, Fixtures.distProbeMod)),
     // --- training-data pipeline ops over documents/embeddings/events ---
     "q20_token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
     "q20b_token_bpe" -> ((s, dir) => TextOps.tokenCountBpe(docs(s, dir))),
@@ -182,6 +184,7 @@ object SparkEntry {
     "q15_tile_assign" -> OracleSql.tileAssign(Fixtures.TileRes),
     "q16_tile_histogram" -> OracleSql.tileHistogram(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
+    "q18_distance_join" -> OracleSql.distanceJoin(Fixtures.distEps, Fixtures.distProbeMod),
     "q20_token_count" -> OracleSql.tokenCount,
     "q20b_token_bpe" -> OracleSql.tokenCountBpe(TextOps.BpeTokenPattern),
     "q21_quality" -> OracleSql.quality(Fixtures.stopwords),

@@ -79,6 +79,10 @@ object Fixtures {
   val minhashNum = 32
   val minhashBands = 8
 
+  /** ε-distance-join fixture: probe subset id % 50, radius 0.5°. */
+  val distEps = 0.5
+  val distProbeMod = 50
+
   /** ANN fixtures: query vectors = embeddings with vec_id < 4, top-k. */
   val annQueryIds: Seq[Int] = Seq(0, 1, 2, 3)
   val annK = 10

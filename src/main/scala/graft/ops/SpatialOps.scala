@@ -373,6 +373,48 @@ object SpatialOps {
       knnJoin(points, queries.filter(q => bad.contains(q._1)), k))
   }
 
+  /** ε-distance join: all (probe, point) pairs within planar distance
+    * `eps` — the spatial self-join the grid makes feasible at scale.
+    * Resolution is chosen so one cell step ≥ eps, hence every partner of
+    * a probe lies in the probe's 3×3 cell neighborhood: the probe side
+    * explodes to ≤ 9 (cell, probe) rows, equi-joins the point side on its
+    * single cell (one shuffle on a compact key, never all-pairs), then
+    * the exact d² ≤ eps² refine runs on neighbors only. The probe subset
+    * (id % probeMod == 0) is the oracle-checkable slice, as in
+    * [[graft.ops.AnnOps.nearDupPairs]]; self-pairs are excluded. */
+  def distanceJoin(points: DataFrame, eps: Double, probeMod: Int,
+                   rOverride: Int = -1): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // coarsest r whose cell step still covers eps in one ring
+    val r =
+      if (rOverride >= 0) rOverride
+      else (CellId.MaxRes to 0 by -1).find(rr =>
+        math.min(CellId.latStep(rr), CellId.lonStep(rr)) >= eps).getOrElse(0)
+    val pts = withCell(points, r)
+    val probes = pts.filter(pmod(col("id"), lit(probeMod)) === 0)
+      .select(col("id").as("a_id"), col("lat").as("alat"), col("lon").as("alon"),
+        col("cell").as("acell"))
+    val hi = CellId.n(r) - 1
+    // 3×3 neighborhood as cell ids: cell + {-1,0,1}·(n, 1) offsets, clipped
+    // (SQL `/` is fractional — floor-cast for integer row index)
+    val y = floor(col("acell") / lit(CellId.n(r))).cast("long")
+    val x = pmod(col("acell"), lit(CellId.n(r)))
+    val neighbors = array((for (dy <- -1 to 1; dx <- -1 to 1) yield {
+      val ny = y + lit(dy.toLong); val nx = x + lit(dx.toLong)
+      when(ny >= 0 && ny <= hi && nx >= 0 && nx <= hi, ny * lit(CellId.n(r)) + nx)
+        .otherwise(lit(-1L))
+    }): _*)
+    val exploded = probes.withColumn("ncell", explode(neighbors))
+      .filter(col("ncell") >= 0)
+    val d2 = GeoCols.d2Cols(col("lat"), col("lon"), col("alat"), col("alon"))
+    exploded.join(pts, col("cell") === col("ncell"))
+      .filter(col("a_id") =!= col("id"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(eps * eps))
+      .select(col("a_id"), col("id").as("b_id"), col("d2"))
+  }
+
   /** Reference bulk-load packing (ops #7/#8): global sort by first
     * coordinate only (RStarTree.java:177 — deliberately NOT STR, to match
     * the reference), slabs of exactly `fanout` (RStarTree.java:189-200),

@@ -127,6 +127,17 @@ object OracleSql {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** ε-distance join oracle: brute self-join on the probe slice — twin of
+    * [[graft.ops.SpatialOps.distanceJoin]] (d² = (b−a)² ordering). */
+  def distanceJoin(eps: Double, probeMod: Int): String = {
+    val d2 = "(b.lat - a.lat) * (b.lat - a.lat) + (b.lon - a.lon) * (b.lon - a.lon)"
+    s"""$pointsCte
+       |SELECT a.id AS a_id, b.id AS b_id, $d2 AS d2
+       |FROM pts a JOIN pts b
+       |  ON a.id % $probeMod = 0 AND a.id != b.id
+       | AND $d2 <= ${d(eps * eps)}""".stripMargin
+  }
+
   def radiusSweep(cLat: Double, cLon: Double, radii: Seq[Double]): String = {
     val aggs = radii.zipWithIndex.map { case (rr, i) =>
       val b = graft.geo.MBR(cLat - rr, cLon - rr, cLat + rr, cLon + rr)

@@ -198,6 +198,27 @@ class SpatialOpsSpec extends AnyFunSuite {
            normP(SpatialOps.pipJoin(pts, Fixtures.polys, r2)))
   }
 
+  test("distanceJoin == brute all-pairs within eps (multiset; neighborhood is sound)") {
+    def counts[T](xs: Seq[T]): Map[T, Int] = xs.groupBy(identity).view.mapValues(_.size).toMap
+    for (eps <- Seq(0.5, 2.0)) {
+      val got = SpatialOps.distanceJoin(pts, eps, Fixtures.distProbeMod)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val exp = for {
+        (a, ala, alo) <- rows if a % Fixtures.distProbeMod == 0
+        (b, bla, blo) <- rows if a != b
+        if (bla - ala) * (bla - ala) + (blo - alo) * (blo - alo) <= eps * eps
+      } yield (a, b)
+      assert(counts(got) == counts(exp), s"eps=$eps")
+      assert(exp.nonEmpty, s"fixture produced no pairs at eps=$eps")
+    }
+    // a coarse override must give identical output (r only prunes)
+    val a = SpatialOps.distanceJoin(pts, 0.5, Fixtures.distProbeMod)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = SpatialOps.distanceJoin(pts, 0.5, Fixtures.distProbeMod, rOverride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(counts(a) == counts(b))
+  }
+
   test("tile assignment is total, single-cell, and parallelism-invariant") {
     val a4 = SpatialOps.tileAssign(pts, Fixtures.TileRes).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(t => t).toSeq
