@@ -57,6 +57,16 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
 
   def committedLineage: Set[String] = manifest().map(_.lineageId).toSet
 
+  /** Live-row count from manifest stats alone — the plan-time input to
+    * [[graft.geo.CellId.pickResolution]] (adaptive covering resolution
+    * with ZERO data scans; tombstone rows are subtracted as an upper
+    * bound on dead rows). */
+  def totalRows: Long = {
+    val m = manifest().filter(_.path.nonEmpty)
+    m.filter(_.kind == "data").map(_.rows).sum -
+      m.filter(_.kind == "delete").map(_.rows).sum
+  }
+
   /** Append a (lat, lon, …) DataFrame as one lineage unit: Z-cluster it
     * (repartitionByRange + sortWithinPartitions — the bulk-load pack),
     * write immutable parquet, derive per-file stats from the written files

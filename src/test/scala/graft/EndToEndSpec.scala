@@ -41,6 +41,12 @@ class EndToEndSpec extends AnyFunSuite {
       pts.select(col("id"), col("lat"), col("lon")), r = 8, numPartitions = 8)
     assert(gi.totalRows == 600)
 
+    // plan-time adaptive resolution from manifest stats (no data scan)
+    assert(store.totalRows == 600)
+    val rAuto = graft.geo.CellId.pickResolution(store.totalRows, 64)
+    val boxQ = SpatialOps.rangeBox(pts, MBR(-30.0, -90.0, 30.0, 90.0), rAuto)
+      .select("id").collect().map(_.getLong(0)).toSet
+
     // pruned box query through the manifest + exact predicate
     val box = MBR(-30.0, -90.0, 30.0, 90.0)
     val (prunedDf, kept, total) = store.read(Some(box))
@@ -52,6 +58,11 @@ class EndToEndSpec extends AnyFunSuite {
       (r.getAs[String]("image_id"), r.getAs[Double]("lat"), r.getAs[Double]("lon")))
     val exp = expAll.filter { case (_, la, lo) => box.contains(la, lo) }.map(_._1).toSet
     assert(got == exp && got.nonEmpty)
+    // the adaptive-resolution box query must agree with the id set
+    val expIds = pts.select("id", "lat", "lon").collect()
+      .filter(r => box.contains(r.getDouble(1), r.getDouble(2)))
+      .map(_.getLong(0)).toSet
+    assert(boxQ == expIds)
 
     // index-seeded exact kNN over the clustered table
     val knn = GlobalIndex.knnIndexed(clustered, gi, 0.0, 0.0, 10)
