@@ -148,16 +148,49 @@ object AnnOps {
     annIvfLists(withNorm(emb).withColumn("list", col("label").cast("int")),
       queryIds, k, nprobe)
 
+  /** Element-wise mean vector per list via the typed partial-sum kernel:
+    * each partition emits ≤ |lists| (sum[dim], count) rows, folded on the
+    * driver in stable order, quantized to 1e-6 (sum-order noise can never
+    * flip a routing decision). The corpus never shuffles — this replaces
+    * a posexplode of rows·dim exploded rows + two aggregations. */
+  private def listCentroids(e: DataFrame): Seq[(Int, Seq[Double])] = {
+    import e.sparkSession.implicits._
+    val partials = e.select(col("list").cast("int"), col("v"))
+      .as[(Int, Seq[Double])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val sums = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+        val cnts = scala.collection.mutable.HashMap.empty[Int, Long]
+        it.foreach { case (c, v) =>
+          val s = sums.getOrElseUpdate(c, new Array[Double](v.length))
+          var i = 0
+          while (i < v.length) { s(i) += v(i); i += 1 }
+          cnts(c) = cnts.getOrElse(c, 0L) + 1
+        }
+        sums.keysIterator.map(c => (pid, c, sums(c).toSeq, cnts(c))).toArray.iterator
+      }
+      .collect().sortBy(p => (p._2, p._1))
+    partials.groupBy(_._2).toSeq.sortBy(_._1).map { case (c, ps) =>
+      val dim = ps.head._3.length
+      val tot = new Array[Double](dim)
+      var n = 0L
+      ps.foreach { p =>
+        var i = 0
+        while (i < dim) { tot(i) += p._3(i); i += 1 }
+        n += p._4
+      }
+      c -> tot.map(x => math.floor(x / n * 1e6) / 1e6).toSeq
+    }
+  }
+
   /** IVF search over an arbitrary list assignment: centroid per list
     * (element-wise mean), route each query to its nprobe nearest
     * centroids, exact search within routed lists only. */
   private def annIvfLists(e: DataFrame, queryIds: Seq[Int], k: Int,
                           nprobe: Int): DataFrame = {
-    // centroid per list: element-wise mean via posexplode + groupBy(list, dim)
-    val cent = e.select(col("list"), posexplode(col("v")))
-      .groupBy("list", "pos").agg(avg(col("col")).as("c"))
-      .groupBy("list").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("list"), transform(col("pc"), s => s.getField("c")).as("cv"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cent = listCentroids(e).toDF("list", "cv")
       .withColumn("cnrm", norm(col("cv")))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -214,32 +247,8 @@ object AnnOps {
         (array_position(dArr, array_min(dArr)) - 1).cast("int"))
     }
     for (_ <- 1 to iters) {
-      val partials = assignTo(cents)
-        .select(col("cluster"), col("v")).as[(Int, Seq[Double])]
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val sums = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
-          val cnts = scala.collection.mutable.HashMap.empty[Int, Long]
-          it.foreach { case (c, v) =>
-            val s = sums.getOrElseUpdate(c, new Array[Double](v.length))
-            var i = 0
-            while (i < v.length) { s(i) += v(i); i += 1 }
-            cnts(c) = cnts.getOrElse(c, 0L) + 1
-          }
-          sums.keysIterator.map(c => (pid, c, sums(c).toSeq, cnts(c))).toArray.iterator
-        }
-        .collect().sortBy(p => (p._2, p._1)) // stable fold order
-      val updated = partials.groupBy(_._2).map { case (c, ps) =>
-        val dim = ps.head._3.length
-        val tot = new Array[Double](dim)
-        var n = 0L
-        ps.foreach { p =>
-          var i = 0
-          while (i < dim) { tot(i) += p._3(i); i += 1 }
-          n += p._4
-        }
-        c -> tot.map(x => math.floor(x / n * 1e6) / 1e6).toSeq
-      }
+      val updated = listCentroids(
+        assignTo(cents).withColumnRenamed("cluster", "list")).toMap
       // a cluster that lost all members keeps its previous centroid
       cents = cents.map { case (c, old) => (c, updated.getOrElse(c, old)) }
     }

@@ -408,7 +408,9 @@ object SpatialOps {
     val exploded = probes.withColumn("ncell", explode(neighbors))
       .filter(col("ncell") >= 0)
     val d2 = GeoCols.d2Cols(col("lat"), col("lon"), col("alat"), col("alon"))
-    exploded.join(pts, col("cell") === col("ncell"))
+    // the probe side is small BY CONSTRUCTION (a slice × 9) — hint it so
+    // the corpus side never becomes the build side at real scale
+    broadcast(exploded).join(pts, col("cell") === col("ncell"))
       .filter(col("a_id") =!= col("id"))
       .withColumn("d2", d2)
       .filter(col("d2") <= lit(eps * eps))
