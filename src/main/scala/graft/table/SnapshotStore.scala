@@ -48,6 +48,62 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
   def currentSnapshotId: Long =
     if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else 0L
 
+  /** Per-file manifest stats from parquet FOOTERS — a driver-side
+    * metadata read (KBs per file), NOT a second scan of the data just
+    * written. This is the Iceberg stats contract: the writer's row-group
+    * min/max aggregates become the manifest entry. Falls back to 0-width
+    * ranges only if a column is absent (never for engine-written files).
+    */
+  private def footerStats(unitDir: String, lineageId: String, wallMs: Long,
+                          withZ: Boolean, kind: String = "data"): Seq[FileEntry] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(unitDir)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).filter(f => f.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).toSeq.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          val rows = blocks.asScala.map(_.getRowCount).sum
+          def minMax[T](col: String, lo: T, hi: T)(
+              cmp: Ordering[T])(get: org.apache.parquet.column.statistics.Statistics[_] => (T, T)): (T, T) = {
+            var mn = hi; var mx = lo
+            var seen = false
+            blocks.asScala.foreach(_.getColumns.asScala.foreach { c =>
+              if (c.getPath.toDotString == col && c.getStatistics != null &&
+                  !c.getStatistics.isEmpty) {
+                val (a, b) = get(c.getStatistics)
+                if (!seen || cmp.lt(a, mn)) mn = a
+                if (!seen || cmp.gt(b, mx)) mx = b
+                seen = true
+              }
+            })
+            if (seen) (mn, mx) else (lo, lo)
+          }
+          def dbl(col: String): (Double, Double) =
+            minMax(col, 0.0, Double.MaxValue)(Ordering.Double.TotalOrdering)(s =>
+              (s.genericGetMin.asInstanceOf[Number].doubleValue(),
+               s.genericGetMax.asInstanceOf[Number].doubleValue()))
+          val (zLo, zHi) =
+            if (withZ) minMax("__z", 0L, Long.MaxValue)(Ordering.Long)(s =>
+              (s.genericGetMin.asInstanceOf[Number].longValue(),
+               s.genericGetMax.asInstanceOf[Number].longValue()))
+            else (0L, 0L)
+          val (latLo, latHi) = dbl("lat")
+          val (lonLo, lonHi) = dbl("lon")
+          FileEntry(f.getPath.toString, rows, zLo, zHi,
+            latLo, latHi, lonLo, lonHi, lineageId, wallMs, kind)
+        } finally reader.close()
+      }
+      // range-partitioning can leave empty part files: no stats, no rows —
+      // keep them out of the manifest (the old scan-based stats pass
+      // skipped them implicitly)
+      .filter(_.rows > 0)
+  }
+
   def manifest(snapshotId: Long = currentSnapshotId): Seq[FileEntry] = {
     import spark.implicits._
     if (snapshotId == 0) Seq.empty
@@ -81,16 +137,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val stats = spark.read.parquet(unitDir)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"), min(col("__z")).as("minZ"), max(col("__z")).as("maxZ"),
-        min(col("lat")).as("minLat"), max(col("lat")).as("maxLat"),
-        min(col("lon")).as("minLon"), max(col("lon")).as("maxLon"))
-      .collect()
-      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
-        lineageId, wallMs))
-    commit(stats.toSeq)
+    commit(footerStats(unitDir, lineageId, wallMs, withZ = true))
   }
 
   /** Manifest-append commit: parent entries + new entries → snap-(n+1),
@@ -166,16 +213,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val stats = spark.read.parquet(unitDir)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"),
-        min(col("lat")).as("minLat"), max(col("lat")).as("maxLat"),
-        min(col("lon")).as("minLon"), max(col("lon")).as("maxLon"))
-      .collect()
-      .map(r => FileEntry(r.getString(0), r.getLong(1), 0L, 0L,
-        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
-        lineageId, wallMs, kind = "delete"))
-    commit(stats.toSeq)
+    commit(footerStats(unitDir, lineageId, wallMs, withZ = false, kind = "delete"))
   }
 
   /** Compaction — the distributed analog of the reference's forced-
@@ -198,15 +236,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val lineage = s"compact-${currentSnapshotId + 1}"
-    val stats = spark.read.parquet(unitDir)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"), min(col("__z")).as("minZ"), max(col("__z")).as("maxZ"),
-        min(col("lat")).as("minLat"), max(col("lat")).as("maxLat"),
-        min(col("lon")).as("minLon"), max(col("lon")).as("maxLon"))
-      .collect()
-      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
-        lineage, wallMs))
+    val stats = footerStats(unitDir, lineage, wallMs, withZ = true)
     // replacing commit: new manifest = compacted entries + ORIGINAL
     // lineage ids as zero-file markers so resumableRun still skips them
     val next = currentSnapshotId + 1
