@@ -219,7 +219,9 @@ object OracleSql {
     """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
-  /** Word k-gram shingles, 1-based; twin of [[graft.ops.TextOps.shingles]]. */
+  /** Word k-gram shingles, 1-based; twin of the kernel shingling in
+    * [[graft.ops.Dedup.ngramJaccard]] (k-token windows joined by single
+    * spaces, first-occurrence-distinct). */
   private def shingleExpr(k: Int): String = {
     val concat = (0 until k).map {
       case 0 => "t[i]"

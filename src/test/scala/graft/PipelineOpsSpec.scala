@@ -93,6 +93,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint: matches hand-computed shingle-hash min; parallelism-invariant") {
+    val exp = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        if (toks.length < 5) None
+        else Some(id -> toks.sliding(5).map(w => Dedup.hash64(w.mkString(" "))).min)
+      }.toMap
+    val got = TextOps.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    val reparted = TextOps.fingerprint(docs.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reparted == exp)
+  }
+
   test("cosineTopK matches in-memory brute force (quantized)") {
     val vecs = emb.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
