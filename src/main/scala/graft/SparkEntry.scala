@@ -87,6 +87,7 @@ object SparkEntry {
       Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.sweepRadii)),
     "q15_tile_assign" -> ((s, dir) => SpatialOps.tileAssign(Points(s, dir))),
     "q16_tile_histogram" -> ((s, dir) => SpatialOps.tileHistogram(Points(s, dir))),
+    "q16b_tile_pyramid" -> ((s, dir) => SpatialOps.tilePyramid(Points(s, dir))),
     "q17_pip_join" -> ((s, dir) => SpatialOps.pipJoin(Points(s, dir), Fixtures.polys)),
     "q18_distance_join" -> ((s, dir) => SpatialOps.distanceJoin(Points(s, dir),
       Fixtures.distEps, Fixtures.distProbeMod)),
@@ -183,6 +184,7 @@ object SparkEntry {
       Fixtures.knnPoint._2, Fixtures.sweepRadii),
     "q15_tile_assign" -> OracleSql.tileAssign(Fixtures.TileRes),
     "q16_tile_histogram" -> OracleSql.tileHistogram(Fixtures.TileRes),
+    "q16b_tile_pyramid" -> OracleSql.tilePyramid(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
     "q18_distance_join" -> OracleSql.distanceJoin(Fixtures.distEps, Fixtures.distProbeMod),
     "q20_token_count" -> OracleSql.tokenCount,

@@ -56,6 +56,28 @@ object SpatialOps {
   def tileHistogram(points: DataFrame, r: Int = Fixtures.TileRes): DataFrame =
     withCell(points, r).groupBy("cell").agg(count(lit(1)).as("cnt"))
 
+  /** Tile pyramid: per-cell counts at EVERY resolution 0..rMax — the
+    * multi-resolution raster rollup a tile server precomputes. ONE pass
+    * over the data builds the finest histogram; each coarser level rolls
+    * up the previous HISTOGRAM (≤ 4^r rows) via parent-cell arithmetic,
+    * so the data is scanned once and the rollups touch aggregates only.
+    * Output: (r, cell, cnt). */
+  def tilePyramid(points: DataFrame, rMax: Int = Fixtures.TileRes): DataFrame = {
+    val base = tileHistogram(points, rMax).withColumn("r", lit(rMax))
+    val levels = Iterator.iterate((base, rMax)) { case (child, rc) =>
+      // parent of row-major cell at rc: (y>>1)·n(rc−1) + (x>>1)
+      val y = floor(col("cell") / lit(CellId.n(rc))).cast("long")
+      val x = pmod(col("cell"), lit(CellId.n(rc)))
+      val parent = child
+        .select((floor(y / 2).cast("long") * lit(CellId.n(rc - 1)) +
+          floor(x / 2).cast("long")).as("cell"), col("cnt"))
+        .groupBy("cell").agg(sum(col("cnt")).as("cnt"))
+        .withColumn("r", lit(rc - 1))
+      (parent, rc - 1)
+    }.take(rMax + 1).map(_._1).toSeq
+    levels.reduce(_ unionAll _).select(col("r"), col("cell"), col("cnt"))
+  }
+
   /** Brute-force kNN (op #13): d² sort + limit — Spark plans
     * TakeOrderedAndProject (per-partition top-k, driver merge), already the
     * scalable plan. Deterministic (d², id) tie-break (the reference's PQ

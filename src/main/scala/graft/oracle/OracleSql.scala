@@ -93,6 +93,15 @@ object OracleSql {
        |SELECT ${cellSql("lat", "lon", r)} AS cell, count(*) AS cnt
        |FROM pts GROUP BY 1""".stripMargin
 
+  /** Tile pyramid oracle: per-level histograms straight from lat/lon —
+    * independent of the engine's rollup-on-aggregates evaluation order. */
+  def tilePyramid(rMax: Int): String = {
+    val arms = (0 to rMax).map(r =>
+      s"SELECT $r AS r, ${cellSql("lat", "lon", r)} AS cell, count(*) AS cnt FROM pts GROUP BY 1, 2")
+    s"""$pointsCte
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   def knn(qLat: Double, qLon: Double, k: Int): String =
     s"""$pointsCte
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ${d2Sql(qLat, qLon)}, id) AS BIGINT) AS rank,

@@ -198,6 +198,18 @@ class SpatialOpsSpec extends AnyFunSuite {
            normP(SpatialOps.pipJoin(pts, Fixtures.polys, r2)))
   }
 
+  test("tilePyramid: rollup-on-aggregates == direct per-level histograms") {
+    val got = SpatialOps.tilePyramid(pts, 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(t => t).toSeq
+    val exp = (0 to 5).flatMap { r =>
+      rows.groupBy { case (_, la, lo) => graft.geo.CellId.grid(la, lo, r) }
+        .map { case (c, xs) => (r, c, xs.length.toLong) }
+    }.sortBy(t => t)
+    assert(got == exp)
+    // level 0 is the global count
+    assert(got.filter(_._1 == 0).map(_._3).sum == rows.length)
+  }
+
   test("distanceJoin == brute all-pairs within eps (multiset; neighborhood is sound)") {
     def counts[T](xs: Seq[T]): Map[T, Int] = xs.groupBy(identity).view.mapValues(_.size).toMap
     for (eps <- Seq(0.5, 2.0)) {
