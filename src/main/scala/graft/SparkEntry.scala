@@ -116,6 +116,7 @@ object SparkEntry {
       EventOps.windowAgg(s.read.parquet(s"$dir/events.parquet"))),
     "q31_stream_window" -> ((s, dir) => EventOps.streamWindowAgg(s, dir)),
     "q32_stream_dedup" -> ((s, dir) => Dedup.streamDedup(s, dir)),
+    "q33_stream_tiles" -> ((s, dir) => EventOps.streamTileHistogram(s, dir)),
     // --- spatial scale-path variants (same semantics, different plans) ---
     "q17b_pip_broadcast" -> ((s, dir) =>
       SpatialOps.pipJoinBroadcast(Points(s, dir), Fixtures.polys)),
@@ -207,5 +208,7 @@ object SparkEntry {
     // micro-batch over the single-file source, so first-wins == min id
     // and the batch GROUP BY text oracle applies verbatim
     "q32_stream_dedup" -> OracleSql.dedupExact,
+    // streaming tile histogram == the batch tile histogram oracle
+    "q33_stream_tiles" -> OracleSql.tileHistogram(Fixtures.TileRes),
   )
 }

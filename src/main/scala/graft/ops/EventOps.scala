@@ -46,6 +46,35 @@ object EventOps {
     spark.table(name)
   }
 
+  /** Streaming spatial ingestion: the tile-histogram pipeline as a
+    * Structured Streaming query — file source over the raw table, the
+    * SAME derive-points + cell aggregation as the batch op, complete-mode
+    * memory sink drained synchronously. Proves the spatial path runs
+    * incrementally (new files → updated per-tile counts) under the batch
+    * oracle. In production the sink is the snapshot store and the
+    * trigger is per-drop. */
+  def streamTileHistogram(spark: SparkSession, dir: String,
+                          r: Int = graft.data.Fixtures.TileRes): DataFrame = {
+    val name = s"graft_streamtiles_${sinkCounter.incrementAndGet()}"
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val pts = src.select(
+      (org.apache.spark.sql.functions.col("l_orderkey") * 8 +
+        col("l_linenumber")).as("id"),
+      (((col("l_orderkey") * 7919 + col("l_linenumber") * 104729) % 180000L)
+        / lit(1000.0) - 90.0).as("lat"),
+      (((col("l_partkey") * 7919 + col("l_suppkey") * 337 + col("l_orderkey")) % 360000L)
+        / lit(1000.0) - 180.0).as("lon"))
+    val agg = pts
+      .groupBy(graft.geo.GeoCols.cellCol(col("lat"), col("lon"), r).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Watermarked sliding-window variant (streaming-only semantics: late
     * rows beyond the watermark are dropped) — exercised by the streaming
     * spec; batch data arrives in one micro-batch so nothing is late. */

@@ -206,6 +206,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assigns.foreach { case (_, keeper, _) => assert(expGroups.contains(keeper)) }
   }
 
+  test("streaming tile histogram == batch tile histogram") {
+    val batch = graft.ops.SpatialOps.tileHistogram(
+        graft.data.Points(spark, dir), Fixtures.TileRes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(t => t).toSeq
+    val stream = EventOps.streamTileHistogram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(t => t).toSeq
+    assert(stream == batch)
+  }
+
   test("streaming windowed agg == batch windowed agg") {
     val batch = EventOps.windowAgg(spark.read.parquet(s"$dir/events.parquet"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
