@@ -35,7 +35,7 @@ object SparkEntry {
     // table layer is driver-checked (DataFile.java:144-198 semantics)
     "q02_snapshot_scan" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val root = java.nio.file.Files.createTempDirectory("graft_q02_").toString
+      val root = tempStore("graft_q02_")
       val store = new graft.table.SnapshotStore(s, root)
       // partition count sized to the unit (~rows/100k), not to cores: at
       // sf scales a 32-way split writes 32 tiny files per unit and the
@@ -49,7 +49,7 @@ object SparkEntry {
     // layout under a replacing manifest → same content, fewer files
     "q06_compact_scan" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, lit, pmod}
-      val root = java.nio.file.Files.createTempDirectory("graft_q06_").toString
+      val root = tempStore("graft_q06_")
       val store = new graft.table.SnapshotStore(s, root)
       val pts = Points(s, dir)
       (0 until 3).foreach(u =>
@@ -63,7 +63,7 @@ object SparkEntry {
     // must survive exactly
     "q05_delete_scan" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val root = java.nio.file.Files.createTempDirectory("graft_q05_").toString
+      val root = tempStore("graft_q05_")
       val store = new graft.table.SnapshotStore(s, root)
       store.append(Points(s, dir), "unit-all", numPartitions = 8)
       store.deleteWhere(graft.geo.GeoCols.inBox(col("lat"), col("lon"),
@@ -128,11 +128,10 @@ object SparkEntry {
       // materialize the k-row result, then release the clustered cache —
       // the index build is a write-time cost; the session shouldn't keep
       // paying its storage after the query
-      val out = graft.index.GlobalIndex.knnIndexed(clustered, gi,
-        Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)
-        .localCheckpoint(true)
-      clustered.unpersist(false)
-      out
+      graft.ops.OpUtil.finish(
+        graft.index.GlobalIndex.knnIndexed(clustered, gi,
+          Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
+        clustered)
     }),
     "q09c_range_join_salted" -> ((s, dir) =>
       SpatialOps.boxJoinSalted(Points(s, dir), Fixtures.boxes)),
@@ -161,6 +160,26 @@ object SparkEntry {
         graft.ops.ImageOps.withPlantedNearDups(
           graft.data.Synth.table(s, 400).toDF(), everyN = 20))),
   )
+
+  /** Fresh temp root for a snapshot-store query, purging stale siblings
+    * first: repeated Bench/Verify loops would otherwise accumulate full
+    * table copies under java.io.tmpdir until the disk fills. The 2h TTL
+    * can never touch the dir a live run is still reading. */
+  private def tempStore(prefix: String): String = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    try {
+      java.nio.file.Files.list(tmp).iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("graft_q") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+        }
+      }
+    } catch { case _: Throwable => () } // cleanup is best-effort
+    java.nio.file.Files.createTempDirectory(prefix).toString
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

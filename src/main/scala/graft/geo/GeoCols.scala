@@ -69,10 +69,10 @@ object GeoCols {
     * until the key is materialized). */
   def cellBoxPredicate(lat: Column, lon: Column, r: Int,
                        y0: Long, y1: Long, x0: Long, x1: Long): Column = {
-    val y = least(greatest(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), lit(0L)),
-      lit(CellId.n(r) - 1))
-    val x = least(greatest(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), lit(0L)),
-      lit(CellId.n(r) - 1))
+    // same clampIdx as cellCol/zCol — the lat=90/lon=180 edge contract is
+    // defined once
+    val y = clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), r)
+    val x = clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), r)
     y >= lit(y0) && y <= lit(y1) && x >= lit(x0) && x <= lit(x1)
   }
 

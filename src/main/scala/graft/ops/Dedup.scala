@@ -224,23 +224,36 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
+  /** 16-bit-quarter Hamming blocking, shared by SimHash (doc_id, simhash)
+    * and the image phash twin ([[ImageOps.phashNearDup]]): explode the
+    * four quarters of a 64-bit hash, equi-join on (quarter index, quarter
+    * value), refine with bit_count(xor). SOUND only for maxHamming ≤ 3 —
+    * by pigeonhole, ≤ 3 differing bits over 4 quarters leave at least one
+    * quarter bit-equal; a larger bound needs more/smaller blocks, so the
+    * helper refuses it rather than silently losing recall. */
+  private[ops] def hammingBlockPairs(df: DataFrame, idCol: String,
+                                     hashCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"quarter blocking guarantees recall only for Hamming <= 3, got $maxHamming")
+    val blocked = df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+      posexplode(array((0 until 4).map(q =>
+        shiftrightunsigned(col(hashCol), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qh")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs: block on 16-bit quarters (a pair within
     * Hamming distance 3 shares at least one exact quarter), then refine
     * with bit_count(xor) <= maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qh")
-    val out = blocked.as("a").join(blocked.as("b"),
-        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-    OpUtil.finish(out, sh)
+    OpUtil.finish(hammingBlockPairs(sh, "doc_id", "simhash", maxHamming), sh)
   }
 }

@@ -59,13 +59,7 @@ object EventOps {
     val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
-    val pts = src.select(
-      (org.apache.spark.sql.functions.col("l_orderkey") * 8 +
-        col("l_linenumber")).as("id"),
-      (((col("l_orderkey") * 7919 + col("l_linenumber") * 104729) % 180000L)
-        / lit(1000.0) - 90.0).as("lat"),
-      (((col("l_partkey") * 7919 + col("l_suppkey") * 337 + col("l_orderkey")) % 360000L)
-        / lit(1000.0) - 180.0).as("lon"))
+    val pts = graft.data.Points.derive(src) // one definition, batch + stream
     val agg = pts
       .groupBy(graft.geo.GeoCols.cellCol(col("lat"), col("lon"), r).as("cell"))
       .agg(count(lit(1)).as("cnt"))

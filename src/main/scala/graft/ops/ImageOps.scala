@@ -90,19 +90,8 @@ object ImageOps {
     * images the quarter-block equi-join is the only feasible all-pairs
     * path, and because phash is table METADATA the bytes column never
     * leaves the scan (plan-verified column pruning). */
-  def phashNearDup(images: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val blocked = images.select(col("image_id"), col("phash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("phash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qh")
-    blocked.as("a").join(blocked.as("b"),
-        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
-          col("a.image_id") < col("b.image_id"))
-      .select(col("a.image_id").as("a_id"), col("b.image_id").as("b_id"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+  def phashNearDup(images: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingBlockPairs(images, "image_id", "phash", maxHamming)
 
   /** Deterministic near-duplicate plant: every `everyN`-th image decoded,
     * re-encoded as high-quality JPEG (same pixels module lossy error),

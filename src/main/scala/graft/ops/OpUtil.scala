@@ -2,17 +2,21 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-private[ops] object OpUtil {
+private[graft] object OpUtil {
 
-  /** Materialize a small final result eagerly (localCheckpoint truncates
-    * its lineage into executor-local blocks) and release the heavy
+  /** Materialize a small final result eagerly and release the heavy
     * upstream caches. Operators that persist a wide intermediate (minhash
     * signatures, LSH buckets, shingle arrays) call this so repeated
     * operator invocations in a long-lived session do not accrue
-    * MEMORY_AND_DISK storage: the caller gets a self-contained DataFrame
-    * it can act on any number of times. */
-  def finish(result: DataFrame, upstream: Dataset[_]*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    * MEMORY_AND_DISK storage. persist+count (NOT localCheckpoint): the
+    * result's lineage is kept, so an executor loss after the upstream
+    * unpersist recomputes from source instead of failing on missing
+    * checkpoint blocks — correctness over speed on the rare-loss path.
+    * The returned tiny cache is the caller's to unpersist (bounded:
+    * pair/top-k row counts). */
+  private[graft] def finish(result: DataFrame, upstream: Dataset[_]*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     upstream.foreach(_.unpersist(false))
     out
   }

@@ -239,12 +239,8 @@ object SpatialOps {
     // callers pass them in and the join plan adds ZERO extra scans. The
     // fallback computes them here with ONE aggregate pass (histogram →
     // driver; total derived from the histogram, not a second count scan).
-    val hot: Set[Long] = hotCells.getOrElse {
-      val hist = pts.groupBy("cell").agg(count(lit(1)).as("cnt"))
-        .collect().map(row => (row.getLong(0), row.getLong(1)))
-      val total = hist.map(_._2).sum
-      hist.filter(_._2 > total * hotThreshold).map(_._1).toSet
-    }
+    val hot: Set[Long] = hotCells.getOrElse(hotCellsFromHistogram(
+      pts.groupBy("cell").agg(count(lit(1)).as("cnt")), hotThreshold))
     val cells = boxes.flatMap { case (bid, b) =>
       CellId.cover(b, r).flatMap { c =>
         val salts = if (hot.contains(c)) 0 until saltFactor else Seq(0)
@@ -367,14 +363,15 @@ object SpatialOps {
     }.toDF("q_id", "qlat", "qlon", "qc")
     val d2 = GeoCols.d2Cols(col("lat"), col("lon"), col("qlat"), col("qlon"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
-    // materialize the pruned top-k once (≤ |Q|·k rows): the exactness
-    // audit and the final output both read it without re-running the join
+    // materialize the pruned top-k once (≤ |Q|·k rows, lineage kept so a
+    // lost block recomputes): the exactness audit and the final output
+    // both read it without re-running the join
     val pruned = withCell(points, r)
       .join(broadcast(qcells), col("cell") === col("qc"))
       .withColumn("d2", d2)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exactness check against the FULL query list (not just queries that
     // found candidates): a query whose ring cells are empty never appears
     // in `pruned` at all and must fall back to the dense join too
@@ -405,7 +402,8 @@ object SpatialOps {
     * (id % probeMod == 0) is the oracle-checkable slice, as in
     * [[graft.ops.AnnOps.nearDupPairs]]; self-pairs are excluded. */
   def distanceJoin(points: DataFrame, eps: Double, probeMod: Int,
-                   rOverride: Int = -1): DataFrame = {
+                   rOverride: Int = -1,
+                   broadcastProbes: Boolean = true): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     // coarsest r whose cell step still covers eps in one ring
@@ -430,9 +428,12 @@ object SpatialOps {
     val exploded = probes.withColumn("ncell", explode(neighbors))
       .filter(col("ncell") >= 0)
     val d2 = GeoCols.d2Cols(col("lat"), col("lon"), col("alat"), col("alon"))
-    // the probe side is small BY CONSTRUCTION (a slice × 9) — hint it so
-    // the corpus side never becomes the build side at real scale
-    broadcast(exploded).join(pts, col("cell") === col("ncell"))
+    // default: hint the probe side (a slice × 9 — small by contract) so
+    // the corpus never becomes the build side at real scale; callers with
+    // a LARGE probe slice pass broadcastProbes=false and get a shuffle
+    // join on the cell key instead of a forced over-limit broadcast
+    val probeSide = if (broadcastProbes) broadcast(exploded) else exploded
+    probeSide.join(pts, col("cell") === col("ncell"))
       .filter(col("a_id") =!= col("id"))
       .withColumn("d2", d2)
       .filter(col("d2") <= lit(eps * eps))

@@ -84,7 +84,7 @@ object TextOps {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.split(" ")
+        val toks = text.split(" ", -1) // limit -1: same tokens as tokenStats / Spark split
         if (toks.length < k) Iterator.empty
         else {
           var m = Long.MaxValue

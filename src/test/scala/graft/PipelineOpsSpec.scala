@@ -96,7 +96,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("fingerprint: matches hand-computed shingle-hash min; parallelism-invariant") {
     val exp = docs.collect().map(r => (r.getLong(0), r.getString(1)))
       .flatMap { case (id, text) =>
-        val toks = text.split(" ")
+        val toks = text.split(" ", -1)
         if (toks.length < 5) None
         else Some(id -> toks.sliding(5).map(w => Dedup.hash64(w.mkString(" "))).min)
       }.toMap
