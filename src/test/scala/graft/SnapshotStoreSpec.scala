@@ -51,6 +51,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.committedLineage.contains("del-0") && st.committedLineage.contains("del-1"))
   }
 
+  test("randomized delete sequence + compact == in-memory multiset difference") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts, "unit-0", numPartitions = 4)
+    val r0 = new scala.util.Random(3)
+    var live = pts.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    for (i <- 0 until 4) {
+      val la0 = r0.nextDouble() * 160 - 90
+      val lo0 = r0.nextDouble() * 320 - 180
+      val b = MBR(la0, lo0, la0 + 20 + r0.nextDouble() * 40, lo0 + 20 + r0.nextDouble() * 80)
+      st.deleteWhere(graft.geo.GeoCols.inBox(col("lat"), col("lon"), b), s"del-$i")
+      live = live.filterNot { case (_, la, lo) => b.contains(la, lo) }
+      if (i == 2) st.compact(numPartitions = 2) // mid-sequence rewrite
+      val got = st.read()._1.select("id", "lat", "lon").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      assert(got == live.sorted, s"after delete $i")
+    }
+    assert(live.nonEmpty && live.size < pts.count())
+  }
+
   test("append + read round-trips; snapshots are monotonic") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)

@@ -57,6 +57,33 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnRing randomized: 20 seeded query points x random k == in-memory top-k") {
+    val r0 = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val qla = r0.nextDouble() * 180 - 90
+      val qlo = r0.nextDouble() * 360 - 180
+      val k = 1 + r0.nextInt(40)
+      val exp = rows.map { case (id, la, lo) =>
+        (id, (la - qla) * (la - qla) + (lo - qlo) * (lo - qlo))
+      }.sortBy { case (id, d2) => (d2, id) }.take(k).map(_._1).toSeq
+      val got = SpatialOps.knnRing(pts, qla, qlo, k)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      assert(got == exp, s"q=($qla,$qlo) k=$k")
+    }
+  }
+
+  test("rangeBox randomized: 20 seeded boxes == brute filter") {
+    val r0 = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val la0 = r0.nextDouble() * 170 - 90
+      val lo0 = r0.nextDouble() * 340 - 180
+      val b = MBR(la0, lo0, la0 + r0.nextDouble() * 30, lo0 + r0.nextDouble() * 60)
+      val got = SpatialOps.rangeBox(pts, b).select("id").collect().map(_.getLong(0)).toSet
+      val exp = rows.filter { case (_, la, lo) => b.contains(la, lo) }.map(_._1).toSet
+      assert(got == exp, s"box $b")
+    }
+  }
+
   test("skyline == O(n^2) dominance oracle (Benchmark.java:508-515)") {
     val dpts = rows.map { case (_, la, lo) => (la, lo) }.distinct
     val exp = dpts.filter { p =>
