@@ -154,7 +154,15 @@ object Dedup {
     * is_first rows and routes duplicates to their keeper. Keeper = min
     * doc_id seen so far (within a micro-batch the min is taken across the
     * batch, so intra-batch arrival order never matters; across batches it
-    * is first-wins, the ingestion-time contract). */
+    * is first-wins, the ingestion-time contract).
+    *
+    * State bound at 10¹² docs: the keeper map grows with distinct keys;
+    * the production bound is a state TTL (ProcessingTimeTimeout +
+    * state.remove on timeout ⇒ exact dedup within the TTL window, a
+    * fresh window after). Not enabled here: a registered processing-time
+    * timeout makes the micro-batch engine self-trigger continuously,
+    * which the drain-synchronously harness (and any processAllAvailable
+    * caller) cannot quiesce — measured as an unbounded batch loop. */
   def streamDedupAssign(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
