@@ -57,7 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * shared test session or a REPL where the builder has already fired. */
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "scalar_funcs")
     Seq(
       (FunctionIdentifier("graft_cell"),
         info("graft_cell", "graft_cell(lat, lon, res) - row-major grid cell id"),
