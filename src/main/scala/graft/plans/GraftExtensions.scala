@@ -58,7 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
-        "", "", "", "", "", "", "scalar_funcs")
+        "", "", "", "math_funcs", "", "", "built-in")
     Seq(
       (FunctionIdentifier("graft_cell"),
         info("graft_cell", "graft_cell(lat, lon, res) - row-major grid cell id"),
