@@ -159,6 +159,13 @@ object SparkEntry {
       graft.ops.ImageOps.phashNearDup(
         graft.ops.ImageOps.withPlantedNearDups(
           graft.data.Synth.table(s, 400).toDF(), everyN = 20))),
+    // frame sampling over the opaque video container (multimodal op:
+    // every 2nd frame decoded partition-wise, scalar projection for the
+    // driver; container codec + sampling pinned in VideoOpsSpec)
+    "q44_frame_sample" -> ((s, _) =>
+      graft.ops.VideoOps.frameSample(
+        graft.ops.VideoOps.table(s, 300).toDF(), everyK = 2)
+        .toDF().select("video_id", "frame_idx", "w", "h", "phash")),
   )
 
   /** Fresh temp root for a snapshot-store query, purging stale siblings
