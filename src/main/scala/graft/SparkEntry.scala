@@ -166,6 +166,10 @@ object SparkEntry {
       graft.ops.VideoOps.frameSample(
         graft.ops.VideoOps.table(s, 300).toDF(), everyK = 2)
         .toDF().select("video_id", "frame_idx", "w", "h", "phash")),
+    // audio feature extraction over the opaque PCM container (quantized
+    // scalar outputs; planted-tone recovery pinned in AudioOpsSpec)
+    "q45_audio_features" -> ((s, _) =>
+      graft.ops.AudioOps.features(graft.ops.AudioOps.table(s, 400).toDF()).toDF()),
   )
 
   /** Fresh temp root for a snapshot-store query, purging stale siblings
