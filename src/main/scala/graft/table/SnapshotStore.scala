@@ -146,10 +146,19 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
     * `current`, which real Iceberg's catalog provides at the seam. */
   private def commit(newEntries: Seq[FileEntry]): Long = {
     import spark.implicits._
-    val next = currentSnapshotId + 1
-    val all = manifest() ++ newEntries
+    val parent = currentSnapshotId
+    val next = parent + 1
+    val all = manifest(parent) ++ newEntries
+    // snap-N+1 (ErrorIfExists) and current.tmp.N+1 (CREATE_NEW) are the
+    // optimistic-concurrency tripwires: a concurrent committer that won
+    // the race leaves one of them in place and this commit FAILS instead
+    // of silently replacing a snapshot it never read (real Iceberg moves
+    // this CAS into the catalog; the seam is identical)
     spark.createDataset(all).coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
+    if (currentSnapshotId != parent)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot advanced past $parent during commit — retry from the new manifest")
     val tmp = metaDir.resolve(s"current.tmp.$next")
     Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
