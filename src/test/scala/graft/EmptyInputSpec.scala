@@ -1,0 +1,64 @@
+package graft
+
+import graft.data.Fixtures
+import graft.ops.{AnnOps, Dedup, SpatialOps, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input hardening: every operator must return an empty (or
+  * k-truncated) result on empty/undersized inputs, never crash — the
+  * empty partition / empty table cases a 1000-executor job hits daily. */
+class EmptyInputSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val noPts = Seq.empty[(Long, Double, Double)].toDF("id", "lat", "lon")
+  lazy val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  lazy val noEmb = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+
+  test("spatial operators on an empty point table") {
+    assert(SpatialOps.rangeBox(noPts, Fixtures.boxes.head._2).count() == 0)
+    assert(SpatialOps.knnSerial(noPts, 0.0, 0.0, 5).count() == 0)
+    assert(SpatialOps.knnRing(noPts, 0.0, 0.0, 5).count() == 0)
+    assert(SpatialOps.skyline(noPts).count() == 0)
+    assert(SpatialOps.tileHistogram(noPts).count() == 0)
+    assert(SpatialOps.tilePyramid(noPts, 3).count() == 0)
+    assert(SpatialOps.boxJoin(noPts, Fixtures.boxes).count() == 0)
+    assert(SpatialOps.boxJoinSalted(noPts, Fixtures.boxes).count() == 0)
+    assert(SpatialOps.pipJoin(noPts, Fixtures.polys).count() == 0)
+    assert(SpatialOps.distanceJoin(noPts, 1.0, 2).count() == 0)
+    assert(SpatialOps.knnJoin(noPts, Fixtures.knnQueries.take(2), 3).count() == 0)
+    assert(SpatialOps.knnJoinPruned(noPts, Fixtures.knnQueries.take(2), 3).count() == 0)
+  }
+
+  test("kNN with k larger than the table returns all rows, exactly ranked") {
+    val three = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0)).toDF("id", "lat", "lon")
+    assert(SpatialOps.knnSerial(three, 0.0, 0.0, 10).count() == 3)
+    val ring = SpatialOps.knnRing(three, 0.0, 0.0, 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ring == Seq(1L, 2L, 3L))
+  }
+
+  test("dedup/text operators on an empty documents table") {
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.ngramJaccard(noDocs, 5, 0.2).count() == 0)
+    assert(Dedup.minhashLsh(noDocs).count() == 0)
+    assert(Dedup.simhashPairs(noDocs).count() == 0)
+    assert(TextOps.tokenCount(noDocs).count() == 0)
+    assert(TextOps.quality(noDocs).count() == 0)
+    assert(TextOps.fingerprint(noDocs).count() == 0)
+  }
+
+  test("ANN operators on an empty embeddings table") {
+    assert(AnnOps.cosineTopK(noEmb, Seq(0), 5).count() == 0)
+    assert(AnnOps.annLsh(noEmb, Seq(0), 5).count() == 0)
+    assert(AnnOps.annIvf(noEmb, Seq(0), 5).count() == 0)
+  }
+}
