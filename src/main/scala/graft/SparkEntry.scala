@@ -21,8 +21,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     val images = graft.data.Synth.table(spark, 2000).toDF()
+    // id MUST be partition-layout-independent (SURVEY §7.5 determinism):
+    // xxhash64(image_id), never monotonically_increasing_id
     val pts = graft.data.Synth.imagePoints(images)
-      .withColumn("id", monotonically_increasing_id())
+      .withColumn("id", xxhash64(col("image_id")))
     SpatialOps.boxJoin(pts, Fixtures.boxes)
       .unionAll(SpatialOps.boxJoin(Points(spark, "/root/testdata/sf0.001"), Fixtures.boxes))
   }

@@ -387,9 +387,13 @@ object SpatialOps {
     }.toSet
     val exactPart = pruned.filter(!col("q_id").isin(bad.toSeq: _*))
       .select(col("q_id"), col("rank"), col("id"))
-    if (bad.isEmpty) exactPart
-    else exactPart.unionAll(
-      knnJoin(points, queries.filter(q => bad.contains(q._1)), k))
+    val out =
+      if (bad.isEmpty) exactPart
+      else exactPart.unionAll(
+        knnJoin(points, queries.filter(q => bad.contains(q._1)), k))
+    // materialize the ≤|Q|·k output, then release the pruned cache —
+    // repeated invocations in a long session must not accrue storage
+    OpUtil.finish(out, pruned)
   }
 
   /** ε-distance join: all (probe, point) pairs within planar distance

@@ -51,9 +51,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
   /** Per-file manifest stats from parquet FOOTERS — a driver-side
     * metadata read (KBs per file), NOT a second scan of the data just
     * written. This is the Iceberg stats contract: the writer's row-group
-    * min/max aggregates become the manifest entry. Falls back to 0-width
-    * ranges only if a column is absent (never for engine-written files).
-    */
+    * min/max aggregates become the manifest entry.
+    *
+    * Stats FAIL OPEN: if ANY chunk of a column lacks min/max (parquet
+    * omits double stats when a page holds NaN; a column can be absent
+    * entirely), the entry records the full domain range so the file is
+    * never pruned — a narrowed range would silently drop rows from
+    * read(box), violating the superset contract. */
   private def footerStats(unitDir: String, lineageId: String, wallMs: Long,
                           withZ: Boolean, kind: String = "data"): Seq[FileEntry] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -68,27 +72,32 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
           val blocks = reader.getFooter.getBlocks
           import scala.jdk.CollectionConverters._
           val rows = blocks.asScala.map(_.getRowCount).sum
-          def minMax[T](col: String, lo: T, hi: T)(
+          // (failLo, failHi) is the fail-open full range, returned unless
+          // EVERY chunk of the column carried usable stats
+          def minMax[T](col: String, failLo: T, failHi: T)(
               cmp: Ordering[T])(get: org.apache.parquet.column.statistics.Statistics[_] => (T, T)): (T, T) = {
-            var mn = hi; var mx = lo
-            var seen = false
+            var mn = failHi; var mx = failLo
+            var matched = 0; var withStats = 0
             blocks.asScala.foreach(_.getColumns.asScala.foreach { c =>
-              if (c.getPath.toDotString == col && c.getStatistics != null &&
-                  !c.getStatistics.isEmpty) {
-                val (a, b) = get(c.getStatistics)
-                if (!seen || cmp.lt(a, mn)) mn = a
-                if (!seen || cmp.gt(b, mx)) mx = b
-                seen = true
+              if (c.getPath.toDotString == col) {
+                matched += 1
+                if (c.getStatistics != null && !c.getStatistics.isEmpty &&
+                    c.getStatistics.hasNonNullValue) {
+                  val (a, b) = get(c.getStatistics)
+                  if (withStats == 0 || cmp.lt(a, mn)) mn = a
+                  if (withStats == 0 || cmp.gt(b, mx)) mx = b
+                  withStats += 1
+                }
               }
             })
-            if (seen) (mn, mx) else (lo, lo)
+            if (matched > 0 && withStats == matched) (mn, mx) else (failLo, failHi)
           }
           def dbl(col: String): (Double, Double) =
-            minMax(col, 0.0, Double.MaxValue)(Ordering.Double.TotalOrdering)(s =>
+            minMax(col, -Double.MaxValue, Double.MaxValue)(Ordering.Double.TotalOrdering)(s =>
               (s.genericGetMin.asInstanceOf[Number].doubleValue(),
                s.genericGetMax.asInstanceOf[Number].doubleValue()))
           val (zLo, zHi) =
-            if (withZ) minMax("__z", 0L, Long.MaxValue)(Ordering.Long)(s =>
+            if (withZ) minMax("__z", Long.MinValue, Long.MaxValue)(Ordering.Long)(s =>
               (s.genericGetMin.asInstanceOf[Number].longValue(),
                s.genericGetMax.asInstanceOf[Number].longValue()))
             else (0L, 0L)
@@ -104,11 +113,21 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
       .filter(_.rows > 0)
   }
 
+  /** Manifest decode with ADDITIVE schema evolution (the Iceberg manifest
+    * contract): columns added to FileEntry after a snapshot was written are
+    * defaulted, not AnalysisException'd — Spark does not apply Scala
+    * default parameters for a column missing from parquet, so snapshots
+    * written before `kind` existed must be patched before `.as[FileEntry]`. */
   def manifest(snapshotId: Long = currentSnapshotId): Seq[FileEntry] = {
     import spark.implicits._
     if (snapshotId == 0) Seq.empty
-    else spark.read.parquet(s"$root/meta/snap-$snapshotId")
-      .as[FileEntry].collect().toSeq
+    else {
+      val raw = spark.read.parquet(s"$root/meta/snap-$snapshotId")
+      val patched =
+        if (raw.columns.contains("kind")) raw
+        else raw.withColumn("kind", lit("data"))
+      patched.as[FileEntry].collect().toSeq
+    }
   }
 
   def committedLineage: Set[String] = manifest().map(_.lineageId).toSet
@@ -143,12 +162,20 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
   /** Manifest-append commit: parent entries + new entries → snap-(n+1),
     * atomic pointer swing. Single-writer (the driver) — matching the
     * reference's single-threaded writer; multi-writer needs a CAS on
-    * `current`, which real Iceberg's catalog provides at the seam. */
-  private def commit(newEntries: Seq[FileEntry]): Long = {
+    * `current`, which real Iceberg's catalog provides at the seam.
+    *
+    * Crash/abort safety: any snap-k with k > current and any current.tmp.*
+    * is UNREFERENCED (the pointer never reached it) — a leftover from a
+    * crash between manifest write and pointer swing, or from an aborted
+    * commit. Such orphans are swept before writing and on the tripwire
+    * path, so one failed commit can never wedge the table permanently. */
+  private def commit(newEntries: Seq[FileEntry],
+                     replaceParent: Boolean = false): Long = {
     import spark.implicits._
     val parent = currentSnapshotId
     val next = parent + 1
-    val all = manifest(parent) ++ newEntries
+    val all = if (replaceParent) newEntries else manifest(parent) ++ newEntries
+    sweepOrphans()
     // snap-N+1 (ErrorIfExists) and current.tmp.N+1 (CREATE_NEW) are the
     // optimistic-concurrency tripwires: a concurrent committer that won
     // the race leaves one of them in place and this commit FAILS instead
@@ -156,15 +183,42 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
     // this CAS into the catalog; the seam is identical)
     spark.createDataset(all).coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
-    if (currentSnapshotId != parent)
+    if (currentSnapshotId != parent) {
+      // undo our own (still unreferenced) manifest before failing so the
+      // next committer's ErrorIfExists write is not blocked forever
+      if (currentSnapshotId < next)
+        deleteRecursive(metaDir.resolve(s"snap-$next"))
       throw new java.util.ConcurrentModificationException(
         s"snapshot advanced past $parent during commit — retry from the new manifest")
+    }
     val tmp = metaDir.resolve(s"current.tmp.$next")
     Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     next
   }
+
+  /** Remove unreferenced commit leftovers: snap-k directories past the
+    * current pointer and stale current.tmp.* files. Safe because the
+    * pointer is the only source of truth — nothing past it is readable. */
+  private def sweepOrphans(): Unit = {
+    val cur = currentSnapshotId
+    import scala.jdk.CollectionConverters._
+    Files.list(metaDir).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("current.tmp.")) deleteRecursive(p)
+      else if (name.startsWith("snap-") &&
+               name.drop(5).forall(_.isDigit) && name.drop(5).toLong > cur)
+        deleteRecursive(p)
+    }
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try Files.delete(f) catch { case _: Throwable => () })
+    }
 
   /** Plan a read from the current snapshot; `box` prunes manifest entries
     * whose lat/lon range cannot intersect it AND pushes a Z-range
@@ -195,30 +249,44 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
         df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
       case _ => df
     }
-    // merge-on-read equality deletes: broadcast anti-join on the exact
-    // row (deltas are small between compactions; compact() folds them in
-    // and purges the tombstones, bounding this side)
+    // merge-on-read equality deletes: broadcast anti-join on the delete
+    // files' OWN columns (the equality key is whatever deleteWhere wrote —
+    // schema-derived, never hardcoded), so tables of any shape read back
+    // correctly. Deltas are small between compactions; compact() folds
+    // them in and purges the tombstones, bounding this side.
     val live =
       if (deletes.isEmpty) zPruned
-      else zPruned.join(
-        broadcast(spark.read.parquet(deletes.map(_.path): _*)
-          .select(col("id"), col("lat"), col("lon"))),
-        Seq("id", "lat", "lon"), "left_anti")
+      else {
+        val delDf = spark.read.parquet(deletes.map(_.path): _*)
+        zPruned.join(broadcast(delDf), delDf.columns.toSeq, "left_anti")
+      }
     (live.drop("__z"), kept.size, entries.size)
   }
 
   /** Row-level delete (Iceberg-v2 equality-delete shape): materialize the
-    * CURRENT snapshot's rows matching `cond` as (id, lat, lon) tombstones
-    * and commit them as a `kind="delete"` manifest entry. Readers apply
+    * CURRENT snapshot's rows matching `cond` as equality tombstones and
+    * commit them as a `kind="delete"` manifest entry. Readers apply
     * tombstones merge-on-read ([[read]]); [[compact]] rewrites the data
-    * with deletes applied and purges the tombstones (copy-on-write
-    * repair). Equality is on the full row, so distinct rows sharing an id
-    * (the derived cloud has them) delete independently. */
-  def deleteWhere(cond: org.apache.spark.sql.Column, lineageId: String): Long = {
+    * with deletes applied and purges the tombstones (copy-on-write repair).
+    *
+    * The equality key is SCHEMA-DERIVED, not hardcoded: all non-binary
+    * columns of the table unless the caller passes `keyCols` (binary
+    * payloads are excluded — comparing megabyte blobs in the anti-join
+    * would ship them through the broadcast; the scalar columns already
+    * identify rows in every table shape this store hosts). Distinct rows
+    * sharing an id therefore delete independently. */
+  def deleteWhere(cond: org.apache.spark.sql.Column, lineageId: String,
+                  keyCols: Seq[String] = Seq.empty): Long = {
     val t0 = System.nanoTime()
     val (df, _, _) = read()
+    val keys =
+      if (keyCols.nonEmpty) keyCols
+      else df.schema.fields
+        .filterNot(_.dataType == org.apache.spark.sql.types.BinaryType)
+        .map(_.name).toSeq
+    require(keys.nonEmpty, "equality delete needs at least one non-binary key column")
     val unitDir = s"$root/data/$lineageId-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.filter(cond).select(col("id"), col("lat"), col("lon"))
+    df.filter(cond).select(keys.map(col): _*)
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -233,7 +301,6 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
     * counts drop and Z-ranges tighten, which is what makes manifest and
     * row-group pruning effective after many small appends. */
   def compact(numPartitions: Int = 0): Long = {
-    import spark.implicits._
     val t0 = System.nanoTime()
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
@@ -248,18 +315,11 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
     val stats = footerStats(unitDir, lineage, wallMs, withZ = true)
     // replacing commit: new manifest = compacted entries + ORIGINAL
     // lineage ids as zero-file markers so resumableRun still skips them
-    val next = currentSnapshotId + 1
     val lineageMarkers = committedLineage.toSeq.sorted.map(l =>
       FileEntry(path = "", rows = 0L, minZ = 0L, maxZ = 0L,
         minLat = 0.0, maxLat = 0.0, minLon = 0.0, maxLon = 0.0,
         lineageId = l, wallMs = 0L))
-    spark.createDataset(stats.toSeq ++ lineageMarkers).coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
-    val tmp = metaDir.resolve(s"current.tmp.$next")
-    Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
-    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+    commit(stats ++ lineageMarkers, replaceParent = true)
   }
 
   /** Resumable multi-unit job: process only units not yet committed.

@@ -16,6 +16,23 @@ class EntrySpec extends AnyFunSuite {
     assert(n > 0, s"entry returned $n rows")
   }
 
+  test("entry output is independent of the input partition layout") {
+    // the flagship (box_id, id) rows must be identical however the image
+    // table is partitioned — ids derive from xxhash64(image_id), never
+    // from monotonically_increasing_id (SURVEY §7.5 determinism)
+    import org.apache.spark.sql.functions._
+    def run(parts: Int) = {
+      val pts = graft.data.Synth.imagePoints(
+          graft.data.Synth.table(spark, 2000, partitions = parts).toDF())
+        .withColumn("id", xxhash64(col("image_id")))
+      graft.ops.SpatialOps.boxJoin(pts, graft.data.Fixtures.boxes)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    }
+    val a = run(3)
+    val b = run(17)
+    assert(a.nonEmpty && a == b, "entry rows changed with partition count")
+  }
+
   test("every query has either an oracle or a documented rows-only status") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet

@@ -169,6 +169,92 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("NaN coordinates: stats fail open, read(box) never silently drops rows") {
+    // parquet omits double min/max stats for chunks containing NaN — the
+    // manifest entry must record the full range (never a narrowed one), so
+    // the file still participates in every box read (superset contract)
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    import spark.implicits._
+    val box = MBR(10.0, 30.0, 25.0, 60.0)
+    val good = Seq((1L, 12.0, 40.0), (2L, 20.0, 55.0), (3L, -50.0, 10.0))
+    val withNaN = good ++ Seq((4L, Double.NaN, Double.NaN))
+    st.append(withNaN.toDF("id", "lat", "lon"), "nan-unit", numPartitions = 1)
+    // parquet dropped the lat/lon chunk stats → the entry must carry the
+    // fail-open full range, not a narrowed or zero-width one
+    val e = st.manifest().find(_.lineageId == "nan-unit").get
+    assert(e.minLat == -Double.MaxValue && e.maxLat == Double.MaxValue,
+      s"expected fail-open lat range, got (${e.minLat}, ${e.maxLat})")
+    val (df, kept, total) = st.read(Some(box))
+    assert(kept == total, "a stats-less file must never be pruned")
+    val got = df.filter(col("lat").between(box.minLat, box.maxLat) &&
+        col("lon").between(box.minLon, box.maxLon))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"rows lost through NaN-polluted stats: $got")
+  }
+
+  test("orphaned snap dir + stale tmp from a crashed commit do not wedge the table") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts.limit(100), "u-0", numPartitions = 2)
+    // simulate a crash between manifest write and pointer swing: an
+    // unreferenced snap-2 directory and a stale current.tmp.* left behind
+    val orphan = java.nio.file.Paths.get(root, "meta", "snap-2")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "not a manifest")
+    Files.writeString(java.nio.file.Paths.get(root, "meta", "current.tmp.2"), "2")
+    // old behavior: SaveMode.ErrorIfExists on snap-2 fails every future
+    // commit forever; the sweep must recover
+    val snap = st.append(pts.limit(50), "u-1", numPartitions = 2)
+    assert(snap == 2)
+    assert(st.read()._1.count() == 150)
+    // an aborted tripwire commit likewise leaves nothing behind
+    assert(!Files.exists(java.nio.file.Paths.get(root, "meta", "current.tmp.2")))
+  }
+
+  test("pre-`kind` manifests (missing column) still read — additive evolution") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts.limit(100), "u-0", numPartitions = 2)
+    // rewrite the current manifest WITHOUT the kind column (a snapshot
+    // written by the previous format version)
+    val snapDir = s"$root/meta/snap-1"
+    val legacy = spark.read.parquet(snapDir).drop("kind")
+    val tmpDir = tmp()
+    legacy.coalesce(1).write.mode("overwrite").parquet(s"$tmpDir/legacy")
+    deleteDir(java.nio.file.Paths.get(snapDir))
+    spark.read.parquet(s"$tmpDir/legacy").coalesce(1).write.parquet(snapDir)
+    val st2 = new SnapshotStore(spark, root)
+    assert(st2.manifest().forall(_.kind == "data"))
+    assert(st2.read()._1.count() == 100)
+    assert(st2.totalRows == 100)
+  }
+
+  test("equality delete derives its key from the table schema (no id/lat/lon assumption)") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    val images = Synth.imagePoints(Synth.table(spark, 24, seed = 5L).toDF())
+    st.append(images, "img-0") // columns: image_id, bytes, w, h, fmt, caption, phash, lat, lon
+    val victim = images.select("image_id").collect().map(_.getString(0)).sorted.head
+    st.deleteWhere(col("image_id") === victim, "del-img") // old code threw here
+    val back = st.read()._1
+    assert(back.count() == 23)
+    assert(back.filter(col("image_id") === victim).count() == 0)
+    // binary payload excluded from the key but intact in surviving rows
+    val r = back.orderBy("image_id").select("bytes", "phash").head()
+    assert(graft.img.Codec.pHash64(graft.img.Codec.decode(r.getAs[Array[Byte]](0))) == r.getLong(1))
+    // compact folds the tombstone in
+    st.compact(numPartitions = 2)
+    assert(!st.manifest().exists(_.kind == "delete"))
+    assert(st.read()._1.count() == 23)
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+      try Files.delete(f) catch { case _: Throwable => () })
+  }
+
   test("image table through the store: payload intact after cluster+commit") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
