@@ -17,7 +17,10 @@ object Fixtures {
     * sf0.01; [[graft.geo.CellId.pickResolution]] picks the scale-out value). */
   val TileRes = 6
 
-  /** Coarser resolution used for join-pruning covering sets. */
+  /** Oracle-pinned covering resolution: the operators now pick r
+    * adaptively by default ([[graft.ops.SpatialOps.resolveRes]]); this
+    * constant remains the value the generated oracle SQL and the pinned-r
+    * spec legs use. */
   val JoinRes = 5
 
   /** Multi-box spatial-join fixture — radius sweep in the spirit of

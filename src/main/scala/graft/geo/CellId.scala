@@ -77,6 +77,14 @@ object CellId {
     for (y <- y0 to y1; x <- x0 to x1) yield y * n(r) + x
   }
 
+  /** |cover(box, r)| from pure arithmetic — no enumeration. Drives the
+    * covering-budget guard in adaptive resolution picks. */
+  def coverCount(box: MBR, r: Int): Long = {
+    val ys = cellY(box.maxLat, r) - cellY(box.minLat, r) + 1
+    val xs = cellX(box.maxLon, r) - cellX(box.minLon, r) + 1
+    ys * xs
+  }
+
   /** Exact polygon covering: bbox cover refined by true cell∩polygon
     * intersection — a concave polygon's notch cells drop out of the
     * covering entirely, so they never reach the per-row refine filter. */

@@ -19,6 +19,58 @@ import org.apache.spark.sql.functions._
   */
 object SpatialOps {
 
+  /** Sentinel for "resolve the resolution adaptively" — every pruning-only
+    * op defaults to it. Callers with an oracle-pinned or stored-layout r
+    * pass it explicitly. */
+  val AutoRes: Int = -1
+
+  /** Expected rows per covering cell the adaptive pick aims for: the
+    * candidate-join granularity knob. 64 keeps refine fan-in small while
+    * the covering-budget guard bounds broadcast/enumeration size. At 10¹²
+    * rows this resolves to the MaxRes-capped fine grid — the distributed
+    * analog of the reference growing tree depth with data
+    * (RStarTree.java:205-222). */
+  val TargetRowsPerCell: Long = 64L
+
+  /** Upper bound on the total covering-cell count a single query's
+    * geometry may enumerate/broadcast (matches pipJoin's isin budget). */
+  val MaxCoverCells: Long = 4096L
+
+  /** Plan-time row estimate with ZERO scans or actions: Catalyst's
+    * size-in-bytes statistic over the optimized plan, divided by the
+    * schema's default row width. Order-of-magnitude accuracy is enough —
+    * the adaptive resolution moves one level per 4× row change. Stored
+    * tables have an exact manifest count ([[graft.table.SnapshotStore
+    * .totalRows]]); callers holding one pass r (or a hint) explicitly. */
+  def estimateRows(df: DataFrame): Long = {
+    val width = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong)
+      .getOrElse((bytes / width).toLong)
+      .max(1L)
+  }
+
+  /** Resolve the covering resolution for a query: refine with data size
+    * (rows-per-cell target), then coarsen until the query geometry's total
+    * covering stays inside the enumeration budget. Results are r-invariant
+    * for every op that uses this (pruning + exact refine), proven in spec;
+    * only the plan shape changes. */
+  def resolveRes(points: DataFrame, geoms: Seq[MBR], rOverride: Int,
+                 target: Long = TargetRowsPerCell,
+                 coverBudget: Long = MaxCoverCells): Int =
+    if (rOverride >= 0) rOverride
+    else pickRes(estimateRows(points), geoms, target, coverBudget)
+
+  /** Pure core of [[resolveRes]] — unit-testable without a SparkSession. */
+  def pickRes(rowEstimate: Long, geoms: Seq[MBR],
+              target: Long = TargetRowsPerCell,
+              coverBudget: Long = MaxCoverCells): Int = {
+    var r = CellId.pickResolution(rowEstimate, target)
+    while (r > 0 && geoms.map(CellId.coverCount(_, r)).sum > coverBudget) r -= 1
+    r
+  }
+
   def withCell(points: DataFrame, r: Int): DataFrame =
     points.withColumn("cell", GeoCols.cellCol(col("lat"), col("lon"), r))
 
@@ -26,12 +78,14 @@ object SpatialOps {
     * conjunct. The cell conjunct is redundant for correctness but is the
     * scale path: on a cell-clustered stored table it prunes files/row
     * groups before the scan. */
-  def rangeBox(points: DataFrame, b: MBR, r: Int = Fixtures.JoinRes): DataFrame =
-    points.filter(GeoCols.cellBoxPredicate(col("lat"), col("lon"), r,
-        CellId.cellY(b.minLat, r), CellId.cellY(b.maxLat, r),
-        CellId.cellX(b.minLon, r), CellId.cellX(b.maxLon, r)))
+  def rangeBox(points: DataFrame, b: MBR, r: Int = AutoRes): DataFrame = {
+    val rr = resolveRes(points, Seq(b), r)
+    points.filter(GeoCols.cellBoxPredicate(col("lat"), col("lon"), rr,
+        CellId.cellY(b.minLat, rr), CellId.cellY(b.maxLat, rr),
+        CellId.cellX(b.minLon, rr), CellId.cellX(b.maxLon, rr)))
       .filter(GeoCols.inBox(col("lat"), col("lon"), b))
       .select(col("id"), col("lat"), col("lon"))
+  }
 
   /** Serial-baseline range scan (op #12): the same predicate with pruning
     * disabled — the degenerate plan the reference times in
@@ -101,7 +155,8 @@ object SpatialOps {
     * each probe is a cell-pruned filter + TakeOrderedAndProject.
     */
   def knnRing(points: DataFrame, qLat: Double, qLon: Double, k: Int,
-              r: Int = Fixtures.JoinRes): DataFrame = {
+              rOverride: Int = AutoRes): DataFrame = {
+    val r = resolveRes(points, Seq.empty, rOverride)
     val zPts = points
       .withColumn("d2", GeoCols.d2(col("lat"), col("lon"), qLat, qLon))
     val qy = CellId.cellY(qLat, r); val qx = CellId.cellX(qLon, r)
@@ -140,8 +195,9 @@ object SpatialOps {
     * otherwise. */
   def knn(points: DataFrame, index: Option[graft.index.GlobalIndex],
           qLat: Double, qLon: Double, k: Int,
-          r: Int = Fixtures.JoinRes): DataFrame = index match {
-    case Some(gi) => graft.index.GlobalIndex.knnIndexed(points, gi, qLat, qLon, k, r)
+          r: Int = AutoRes): DataFrame = index match {
+    case Some(gi) => graft.index.GlobalIndex.knnIndexed(points, gi, qLat, qLon, k,
+      if (r >= 0) r else resolveRes(points, Seq.empty, r))
     case None     => knnRing(points, qLat, qLon, k, r)
   }
 
@@ -186,9 +242,10 @@ object SpatialOps {
     * never shuffles (broadcast), and the cell conjunct prunes files on a
     * stored cell-clustered table. */
   def boxJoin(points: DataFrame, boxes: Seq[(Int, MBR)],
-              r: Int = Fixtures.JoinRes): DataFrame = {
+              rOverride: Int = AutoRes): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    val r = resolveRes(points, boxes.map(_._2), rOverride)
     val cells = boxes.flatMap { case (bid, b) =>
       CellId.cover(b, r).map(c => (bid, c, b.minLat, b.minLon, b.maxLat, b.maxLon))
     }.toDF("box_id", "bcell", "minlat", "minlon", "maxlat", "maxlon")
@@ -204,7 +261,8 @@ object SpatialOps {
     * (GeoCols.stContains). Polygons are plan literals → the whole join is a
     * union of pushed-down filters: zero shuffles, zero broadcast state. */
   def pipJoin(points: DataFrame, polys: Seq[(Int, Poly)],
-              r: Int = Fixtures.JoinRes): DataFrame = {
+              rOverride: Int = AutoRes): DataFrame = {
+    val r = resolveRes(points, polys.map(_._2.bbox), rOverride)
     val cellPts = withCell(points, r)
     polys.map { case (pid, p) =>
       val cover = CellId.coverPoly(p, r) // exact cover: notch cells pruned
@@ -228,11 +286,15 @@ object SpatialOps {
     * spec); AQE's skew-join split handles residual imbalance.
     */
   def boxJoinSalted(points: DataFrame, boxes: Seq[(Int, MBR)],
-                    r: Int = Fixtures.JoinRes, saltFactor: Int = 8,
+                    rOverride: Int = AutoRes, saltFactor: Int = 8,
                     hotThreshold: Double = 0.05,
                     hotCells: Option[Set[Long]] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // write-time hot cells are keyed at a specific resolution — honor the
+    // caller's pin; only the hint-free path adapts
+    val r = if (hotCells.isDefined && rOverride < 0) Fixtures.JoinRes
+      else resolveRes(points, boxes.map(_._2), rOverride)
     val pts = withCell(points, r)
     // Hot-cell stats belong at WRITE time (SnapshotStore manifests /
     // tileHistogram persisted with the table — see hotCellsFromHistogram);
@@ -296,9 +358,10 @@ object SpatialOps {
     * one scan regardless of polygon count. Exact same semantics as
     * [[pipJoin]] (proven in spec). */
   def pipJoinBroadcast(points: DataFrame, polys: Seq[(Int, Poly)],
-                       r: Int = Fixtures.JoinRes): DataFrame = {
+                       rOverride: Int = AutoRes): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    val r = resolveRes(points, polys.map(_._2.bbox), rOverride)
     val polyRows = polys.flatMap { case (pid, p) =>
       val ring = p.ring.map { case (la, lo) => (la, lo) }
       CellId.coverPoly(p, r).map(c => (pid, c, ring))
@@ -354,9 +417,10 @@ object SpatialOps {
     * verifies that invariant and falls back to the dense join for the few
     * queries that fail it (none, on non-degenerate data at sane `rings`). */
   def knnJoinPruned(points: DataFrame, queries: Seq[(Int, Double, Double)],
-                    k: Int, r: Int = Fixtures.JoinRes, rings: Int = 2): DataFrame = {
+                    k: Int, rOverride: Int = AutoRes, rings: Int = 2): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    val r = resolveRes(points, Seq.empty, rOverride)
     val qcells = queries.flatMap { case (qid, qla, qlo) =>
       (0L to rings.toLong).flatMap(CellId.ring(CellId.grid(qla, qlo, r), r, _))
         .map(c => (qid, qla, qlo, c))

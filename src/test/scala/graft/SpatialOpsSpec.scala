@@ -186,7 +186,7 @@ class SpatialOpsSpec extends AnyFunSuite {
     val queries = Seq((0, 1.0, 1.0), (1, 80.0, 170.0)) // q1 is the outlier
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(t => t).toSeq
-    val got = norm(SpatialOps.knnJoinPruned(corner, queries, 3, r = 10, rings = 1))
+    val got = norm(SpatialOps.knnJoinPruned(corner, queries, 3, rOverride = 10, rings = 1))
     val exp = norm(SpatialOps.knnJoin(corner, queries, 3))
     assert(got == exp)
     assert(got.count(_._1 == 1) == 3, "outlier query must still return k rows")
@@ -202,6 +202,35 @@ class SpatialOpsSpec extends AnyFunSuite {
     // empty hot set (uniform data) degenerates to the plain join
     assert(norm(SpatialOps.boxJoinSalted(pts, Fixtures.boxes, hotCells = Some(Set.empty))) ==
            norm(SpatialOps.boxJoin(pts, Fixtures.boxes)))
+  }
+
+  test("adaptive resolution IS the default: auto r refines with scale, coarsens on budget") {
+    // the default path picks r from the plan-stats row estimate — finer at
+    // 100x the rows (the reference grows tree depth with data,
+    // RStarTree.java:205-222), never past the covering-cell budget
+    val geoms = Fixtures.boxes.map(_._2)
+    val rSmall = SpatialOps.pickRes(6000L, geoms)
+    val rBig = SpatialOps.pickRes(600000L * 100, geoms)
+    assert(rBig > rSmall, s"auto resolution must refine with scale: $rSmall vs $rBig")
+    assert(geoms.map(graft.geo.CellId.coverCount(_, rBig)).sum <= SpatialOps.MaxCoverCells)
+    // without a geometry budget the pick is rows-per-cell alone
+    assert(SpatialOps.pickRes(1000000000000L, Seq.empty) == graft.geo.CellId.MaxRes)
+    // the estimate is plan-time only (no scan) and lands in a sane octave
+    val est = SpatialOps.estimateRows(pts)
+    assert(est > 100 && est < 10000000L, s"estimate off the rails: $est")
+    // default-path outputs == oracle-pinned-path outputs (r-invariance on
+    // the REAL default, not just two explicit picks)
+    def norm2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(t => t).toSeq
+    assert(norm2(SpatialOps.boxJoin(pts, Fixtures.boxes)) ==
+           norm2(SpatialOps.boxJoin(pts, Fixtures.boxes, Fixtures.JoinRes)))
+    assert(norm2(SpatialOps.pipJoin(pts, Fixtures.polys)) ==
+           norm2(SpatialOps.pipJoin(pts, Fixtures.polys, Fixtures.JoinRes)))
+    val bAuto = SpatialOps.rangeBox(pts, Fixtures.boxes.head._2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val bPinned = SpatialOps.rangeBox(pts, Fixtures.boxes.head._2, Fixtures.JoinRes)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bAuto == bPinned)
   }
 
   test("adaptive resolution: pickResolution-chosen r differs by scale, results don't") {
