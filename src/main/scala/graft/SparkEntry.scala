@@ -101,7 +101,11 @@ object SparkEntry {
     "q23_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q24_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), 5, Fixtures.jaccardThreshold)),
-    "q25_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    // signatures staged to parquet so DuckDB oracle-checks the banding +
+    // bucket-join + refine DATAFLOW over the identical staged bits (the
+    // signature kernel itself is rows-only by nature)
+    "q25_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), stagePath = Some(Q25StagePath))),
     "q26_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q26b_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "q27_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
@@ -119,6 +123,21 @@ object SparkEntry {
     "q31_stream_window" -> ((s, dir) => EventOps.streamWindowAgg(s, dir)),
     "q32_stream_dedup" -> ((s, dir) => Dedup.streamDedup(s, dir)),
     "q33_stream_tiles" -> ((s, dir) => EventOps.streamTileHistogram(s, dir)),
+    // streaming INGESTION into the snapshot store (the production sink):
+    // file stream → derive points → per-micro-batch idempotent commits →
+    // read the committed table back → tile histogram under the batch
+    // oracle; crash/re-delivery convergence pinned in StreamIngestSpec
+    "q34_stream_ingest" -> ((s, dir) => {
+      val root = tempStore("graft_q34_")
+      val store = new graft.table.SnapshotStore(s, root)
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      val q = graft.streaming.StreamIngest.run(
+        graft.data.Points.derive(src), store, s"$root/ckpt", numPartitions = 4)
+      try q.processAllAvailable() finally q.stop()
+      SpatialOps.tileHistogram(store.read()._1)
+    }),
     // --- spatial scale-path variants (same semantics, different plans) ---
     "q17b_pip_broadcast" -> ((s, dir) =>
       SpatialOps.pipJoinBroadcast(Points(s, dir), Fixtures.polys)),
@@ -194,6 +213,10 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
+  /** Fixed q25 signature-staging path — referenced by BOTH the Spark query
+    * and its DuckDB oracle SQL, which must read the same bits. */
+  val Q25StagePath = "/tmp/graft_q25_sig"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -226,7 +249,9 @@ object SparkEntry {
     "q22_lang_id" -> OracleSql.langId(Fixtures.stopwords),
     "q23_dedup_exact" -> OracleSql.dedupExact,
     "q24_ngram_jaccard" -> OracleSql.ngramJaccard(5, Fixtures.jaccardThreshold),
-    // q25–q27 (minhash LSH, simhash, fingerprint) use xxhash64 — not
+    "q25_minhash_lsh" -> OracleSql.minhashLshStaged(Q25StagePath,
+      Fixtures.minhashNum, Fixtures.minhashBands, 0.5),
+    // q26/q27 (simhash, fingerprint) use xxhash64/JVM hashing — not
     // SQL-expressible → rows-only driver check; pinned by specs instead.
     "q17b_pip_broadcast" -> OracleSql.pipJoin(Fixtures.polys),
     "q10c_knn_join_pruned" -> OracleSql.knnJoin(Fixtures.knnQueries, Fixtures.knnJoinK),
@@ -242,5 +267,8 @@ object SparkEntry {
     "q32_stream_dedup" -> OracleSql.dedupExact,
     // streaming tile histogram == the batch tile histogram oracle
     "q33_stream_tiles" -> OracleSql.tileHistogram(Fixtures.TileRes),
+    // stream-ingested snapshot table == the batch table, checked through
+    // the same histogram oracle
+    "q34_stream_ingest" -> OracleSql.tileHistogram(Fixtures.TileRes),
   )
 }

@@ -29,11 +29,18 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    * explode distinct k-gram shingles, self-join on shingle (equi-join —
-    * shuffles on the shingle key, skew-safe because shingles are
-    * high-cardinality), count intersections, compute |A∩B| / |A∪B|.
-    */
-  def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    * explode distinct k-gram shingles, self-join on shingle (equi-join),
+    * count intersections, compute |A∩B| / |A∪B|.
+    *
+    * Skew guard: a natural corpus has stop-phrases — ONE shingle shared by
+    * f documents contributes f² join rows, so the inverted index drops
+    * shingles whose document frequency exceeds `maxShingleDf` (they carry
+    * ~zero discriminative Jaccard signal at quadratic cost). Union sizes
+    * still count dropped shingles, so affected pairs get a jacc LOWER
+    * bound — exact for every pair when no shingle crosses the cap, which
+    * holds for the oracle fixtures (cap ≫ fixture max df). */
+  def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
+                   maxShingleDf: Long = 100000L): DataFrame = {
     import docs.sparkSession.implicits._
     // shingling as a typed kernel (identical strings to the SQL twin's
     // list_transform: k-token windows joined by single spaces, first-
@@ -48,7 +55,12 @@ object Dedup {
       })
       .toDF("doc_id", "sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exAll = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    // hot-shingle set as a broadcast anti-join (tiny by construction: only
+    // stop-phrases cross the cap) — the f² fan-out never reaches the join
+    val hot = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("s")
+    val ex = exAll.join(broadcast(hot), Seq("s"), "left_anti")
     val cnts = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -114,8 +126,16 @@ object Dedup {
     * Candidate generation is a single shuffle on band-hash; refinement
     * joins back the (distinct-shingle) arrays for exact verification.
     */
+  /** `stagePath`: when set, the signature stage is WRITTEN to parquet and
+    * read back, so the banding+bucket-join+refine dataflow downstream runs
+    * over bits an external engine can also read — that is how the q25
+    * driver check oracle-verifies the LSH dataflow in DuckDB even though
+    * the signature kernel itself is not SQL-expressible. (At warehouse
+    * scale this is exactly the production shape: signatures are a
+    * checkpointed table, not a transient cache.) */
   def minhashLsh(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
-                 bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                 bands: Int = 8, threshold: Double = 0.5,
+                 stagePath: Option[String] = None): DataFrame = {
     val rows = numHashes / bands
     // Persist the signature stage: without a materialization barrier the
     // signature kernel would rerun for every band projection and both
@@ -123,8 +143,14 @@ object Dedup {
     // at ~20× recompute before the barrier + kernel fix: 312 s → ~2 s on
     // 5k docs). At warehouse scale this stage is a checkpoint into the
     // snapshot store; here MEMORY_AND_DISK is the same barrier.
-    val base = withSignatures(docs, k, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = withSignatures(docs, k, numHashes)
+    val base = stagePath match {
+      case Some(p) =>
+        sigs.write.mode("overwrite").parquet(p)
+        docs.sparkSession.read.parquet(p)
+      case None =>
+        sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val banded = base.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
@@ -142,7 +168,9 @@ object Dedup {
         (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("jacc"))
-    OpUtil.finish(out, base)
+    // staged path: the parquet write IS the materialization barrier and
+    // there is no cache to release
+    if (stagePath.isDefined) out else OpUtil.finish(out, base)
   }
 
   /** Streaming exact dedup (ingestion-time): the Structured Streaming form
@@ -232,36 +260,65 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
-  /** 16-bit-quarter Hamming blocking, shared by SimHash (doc_id, simhash)
-    * and the image phash twin ([[ImageOps.phashNearDup]]): explode the
-    * four quarters of a 64-bit hash, equi-join on (quarter index, quarter
-    * value), refine with bit_count(xor). SOUND only for maxHamming ≤ 3 —
-    * by pigeonhole, ≤ 3 differing bits over 4 quarters leave at least one
-    * quarter bit-equal; a larger bound needs more/smaller blocks, so the
-    * helper refuses it rather than silently losing recall. */
-  private[ops] def hammingBlockPairs(df: DataFrame, idCol: String,
-                                     hashCol: String, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3,
-      s"quarter blocking guarantees recall only for Hamming <= 3, got $maxHamming")
+  /** Generalized Hamming blocking (Manku et al., WWW'07 shape), shared by
+    * SimHash (doc_id, simhash) and the image phash twin
+    * ([[ImageOps.phashNearDup]]): split the 64-bit hash into `blocks`
+    * equal-width blocks and key each row by every combination of
+    * (blocks − maxHamming) block values. Pigeonhole soundness: ≤ maxHamming
+    * differing bits touch ≤ maxHamming blocks, so some (blocks − maxHamming)
+    * blocks are all bit-equal, and that exact combination collides.
+    * Candidates refine with bit_count(xor) ≤ maxHamming — no recall loss.
+    *
+    * `blocks` tunes bucket population against replication:
+    *  - blocks=4, d≤3 (default): 4 single-16-bit-block keys — the classic
+    *    quarter blocking; candidate set identical to it. Key space 2¹⁸:
+    *    right for ≤10⁸-row corpora, quadratic intra-bucket blowup past it.
+    *  - blocks=8, d≤3: C(8,5)=56 keys/row of 40 meaningful bits. At the
+    *    10¹²-row design point: 5.6·10¹³ keyed rows over ~2⁴⁶ (combo, key)
+    *    buckets ≈ 1 row/bucket expected (≈51/bucket if hashes concentrated
+    *    into one combo) — intra-bucket pairs stay linear, the replication
+    *    is a constant 56×. This is the 100 TB setting.
+    */
+  private[graft] def hammingBlockPairs(df: DataFrame, idCol: String,
+                                       hashCol: String, maxHamming: Int,
+                                       blocks: Int = 4): DataFrame = {
+    require(blocks > maxHamming,
+      s"need more blocks than differing bits for pigeonhole recall: blocks=$blocks maxHamming=$maxHamming")
+    require(64 % blocks == 0 && blocks >= 2 && blocks <= 32,
+      s"blocks must divide 64 (2..32), got $blocks")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val keep = blocks - maxHamming
+    val combos = (0 until blocks).combinations(keep).toSeq
+    // C(blocks, maxHamming) is the per-row replication factor AND the key
+    // expression count; past ~64 the generated key array also exceeds
+    // whole-stage codegen's 64KB method limit — reject configs no deployment
+    // should run instead of silently dropping to interpreted execution
+    require(combos.size <= 64,
+      s"C($blocks,$keep)=${combos.size} key combinations — replication too high; " +
+        "use fewer blocks (blocks=maxHamming+1 minimizes replication)")
+    // one 64-bit key per combination: xxhash64(comboId, block values...) —
+    // combo id in the key keeps different combos in disjoint buckets
+    val keys = combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci.toLong) +: combo.map(b =>
+        shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask)))): _*)
+    }
     val blocked = df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col(hashCol), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qh")
+      explode(array(keys: _*)).as("bk"))
     blocked.as("a").join(blocked.as("b"),
-        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
-          col("a.__id") < col("b.__id"))
+        col("a.bk") === col("b.bk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
         bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** SimHash near-dup pairs: block on 16-bit quarters (a pair within
-    * Hamming distance 3 shares at least one exact quarter), then refine
-    * with bit_count(xor) <= maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs: Hamming blocking ([[hammingBlockPairs]] —
+    * quarter keys by default, more/narrower blocks at corpus scale), then
+    * refine with bit_count(xor) <= maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    OpUtil.finish(hammingBlockPairs(sh, "doc_id", "simhash", maxHamming), sh)
+    OpUtil.finish(hammingBlockPairs(sh, "doc_id", "simhash", maxHamming, blocks), sh)
   }
 }

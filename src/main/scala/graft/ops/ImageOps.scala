@@ -87,11 +87,13 @@ object ImageOps {
     * twin of [[Dedup.simhashPairs]]: block the stored 64-bit perceptual
     * hash on its four 16-bit quarters (Hamming ≤ 3 ⇒ at least one quarter
     * is bit-equal), equi-join blocks, refine with bit_count(xor). At 10¹²
-    * images the quarter-block equi-join is the only feasible all-pairs
-    * path, and because phash is table METADATA the bytes column never
-    * leaves the scan (plan-verified column pruning). */
-  def phashNearDup(images: DataFrame, maxHamming: Int = 3): DataFrame =
-    Dedup.hammingBlockPairs(images, "image_id", "phash", maxHamming)
+    * images pass blocks=8 (56 combination keys of 40 bits — see
+    * [[Dedup.hammingBlockPairs]] for the bucket math): the blocked
+    * equi-join is the only feasible all-pairs path, and because phash is
+    * table METADATA the bytes column never leaves the scan (plan-verified
+    * column pruning). */
+  def phashNearDup(images: DataFrame, maxHamming: Int = 3, blocks: Int = 4): DataFrame =
+    Dedup.hammingBlockPairs(images, "image_id", "phash", maxHamming, blocks)
 
   /** Deterministic near-duplicate plant: every `everyN`-th image decoded,
     * re-encoded as high-quality JPEG (same pixels module lossy error),

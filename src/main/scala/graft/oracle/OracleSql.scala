@@ -256,6 +256,36 @@ object OracleSql {
        |JOIN cnts cb ON cb.doc_id = i.b_id
        |WHERE i.inter / (ca.n + cb.n - i.inter) >= ${d(threshold)}""".stripMargin
 
+  /** LSH banding + bucket join + exact-Jaccard refine over the STAGED
+    * signature table ([[graft.ops.Dedup.minhashLsh]] with stagePath) — the
+    * signature kernel is not SQL-expressible, but everything after it is:
+    * band equality is list_slice equality (equal slices ⇔ equal Spark band
+    * hashes, modulo 64-bit collisions the exact refine absorbs), the
+    * refine is list_intersect arithmetic over the staged shingle arrays.
+    * This oracle-checks the riskiest part of the LSH op — the dataflow —
+    * against an independent engine. */
+  def minhashLshStaged(stagePath: String, numHashes: Int, bands: Int,
+                       threshold: Double): String = {
+    val rows = numHashes / bands
+    val bandEq = (0 until bands).map { b =>
+      val lo = b * rows + 1; val hi = b * rows + rows
+      s"list_slice(a.sig, $lo, $hi) = list_slice(b.sig, $lo, $hi)"
+    }.mkString("(", " OR ", ")")
+    s"""WITH sig AS (SELECT doc_id, sh, sig FROM read_parquet('$stagePath/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $bandEq),
+       |ref AS (
+       |  SELECT c.a_id, c.b_id,
+       |         len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |         len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a_id
+       |  JOIN sig sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, inter / (na + nb - inter) AS jacc
+       |FROM ref WHERE inter / (na + nb - inter) >= ${d(threshold)}""".stripMargin
+  }
+
   /** Double-cast dot product — twin of AnnOps.dot (each float cast to
     * double before multiply; quantized before any comparison). */
   private val normCte: String =

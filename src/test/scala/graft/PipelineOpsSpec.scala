@@ -58,6 +58,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(high.subsetOf(got.keySet), s"missed ${high -- got.keySet}")
   }
 
+  test("ngramJaccard df cap: planted stop-phrase never reaches the self-join") {
+    import spark.implicits._
+    // one 5-gram boilerplate header shared by EVERY doc: without the cap
+    // it alone contributes n^2 join rows
+    val header = "lorem ipsum dolor sit amet"
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, s"$header unique$i token$i word$i end$i"))
+    val df = corpus.toDF("doc_id", "text")
+    // cap below the header's df: only header-derived shingles are shared,
+    // so NO pair survives — bounded fan-out under planted skew
+    assert(Dedup.ngramJaccard(df, 5, 0.01, maxShingleDf = 10).count() == 0)
+    // a genuine duplicate is still recalled: its unique-token shingles sit
+    // below the cap (union counts still include dropped shingles)
+    val withDup = df.union(Seq((100L, corpus(7)._2)).toDF("doc_id", "text"))
+    val got = Dedup.ngramJaccard(withDup, 5, 0.5, maxShingleDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((7L, 100L, 4L)), s"got $got") // 5 shingles, header one dropped
+    // and the oracle corpus is untouched by the default cap
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).sorted.toSeq
+    assert(norm(Dedup.ngramJaccard(docs, 5, Fixtures.jaccardThreshold)) ==
+           norm(Dedup.ngramJaccard(docs, 5, Fixtures.jaccardThreshold,
+             maxShingleDf = Long.MaxValue)))
+  }
+
   test("simhash: deterministic, parallelism-invariant; near-identical docs have small hamming") {
     val a = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val b = Dedup.simhash(docs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
@@ -81,6 +106,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
     } yield (a, b)).toSet
     assert(got.keySet == exp) // quarter-blocking is exhaustive for hamming<=3
+  }
+
+  test("generalized Hamming blocking: blocks=8 (corpus-scale keys) == blocks=4; planted d=3 recalled") {
+    // same pairs whichever block layout generates candidates — the refine
+    // is exact, blocking only has to be pigeonhole-sound
+    def pairs(blocks: Int) = Dedup.simhashPairs(docs, maxHamming = 3, blocks = blocks)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(8) == pairs(4))
+    // planted exact-Hamming-3 partners at adversarial bit positions:
+    // 3 flips inside ONE 16-bit quarter (defeats nothing), and 3 flips
+    // spread across three different bytes (defeats 8-block single-block
+    // keys if the combination logic were wrong)
+    import spark.implicits._
+    val base = 0x5A5A_F0F0_3C3C_9999L
+    val rows = Seq(
+      (1L, base), (2L, base ^ 0x7L),                       // 3 flips, quarter 0
+      (3L, base ^ ((1L << 1) | (1L << 17) | (1L << 63))))  // spread flips
+    val df = rows.toDF("doc_id", "simhash")
+    for (blocks <- Seq(4, 8)) {
+      val got = Dedup.hammingBlockPairs(df, "doc_id", "simhash", 3, blocks)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)) && got.contains((1L, 3L)),
+        s"blocks=$blocks lost a planted Hamming-3 pair: $got")
+    }
+    // refusal when pigeonhole cannot hold
+    intercept[IllegalArgumentException] {
+      Dedup.hammingBlockPairs(df, "doc_id", "simhash", 4, 4)
+    }
   }
 
   test("quality/langId/tokenCount consistent with raw text") {
