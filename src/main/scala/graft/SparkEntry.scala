@@ -113,8 +113,11 @@ object SparkEntry {
       AnnOps.cosineTopK(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q28b_ann_ivf" -> ((s, dir) =>
       AnnOps.annIvf(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+    // signature table staged to parquet → DuckDB oracle re-runs the bucket
+    // join + exact cosine re-rank (same pattern as q25)
     "q28c_ann_lsh" -> ((s, dir) =>
-      AnnOps.annLsh(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+      AnnOps.annLsh(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK,
+        stagePath = Some(Q28cStagePath))),
     "q28d_ann_ivf_kmeans" -> ((s, dir) =>
       AnnOps.annIvfKmeans(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q29_embed_neardup" -> ((s, dir) => AnnOps.nearDupPairs(emb(s, dir), 29, 250000L)),
@@ -213,9 +216,10 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
-  /** Fixed q25 signature-staging path — referenced by BOTH the Spark query
-    * and its DuckDB oracle SQL, which must read the same bits. */
+  /** Fixed signature-staging paths — referenced by BOTH the Spark queries
+    * and their DuckDB oracle SQL, which must read the same bits. */
   val Q25StagePath = "/tmp/graft_q25_sig"
+  val Q28cStagePath = "/tmp/graft_q28c_sig"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -258,6 +262,8 @@ object SparkEntry {
     "q10d_knn_indexed" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
     "q09c_range_join_salted" -> OracleSql.boxJoin(Fixtures.boxes),
     "q28_ann_topk" -> OracleSql.annTopK(Fixtures.annQueryIds, Fixtures.annK),
+    "q28c_ann_lsh" -> OracleSql.annLshStaged(Q28cStagePath,
+      Fixtures.annQueryIds, Fixtures.annK, tables = 8),
     "q29_embed_neardup" -> OracleSql.nearDupPairs(29, 250000L),
     "q30_window_agg" -> OracleSql.windowAgg,
     "q31_stream_window" -> OracleSql.windowAgg,

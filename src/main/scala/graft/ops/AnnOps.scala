@@ -78,7 +78,8 @@ object AnnOps {
     * only. Approximate; the spec pins perfect recall on planted near-dups
     * (cos ≈ 1 ⇒ identical sign patterns w.h.p.). */
   def annLsh(emb: DataFrame, queryIds: Seq[Int], k: Int,
-             tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+             tables: Int = 8, bits: Int = 8, dim: Int = 64,
+             stagePath: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // deterministic hyperplane components in [-0.5, 0.5)
@@ -94,7 +95,7 @@ object AnnOps {
     val planes: Array[Array[Double]] = Array.tabulate(tables * bits) { tb =>
       Array.tabulate(dim)(d => hp(tb / bits, tb % bits, d))
     }
-    val hashed = withNorm(emb)
+    val hashedRaw = withNorm(emb)
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions(_.map { case (id, vSeq, nrm) =>
@@ -119,7 +120,17 @@ object AnnOps {
         (id, vSeq, nrm, bkts)
       })
       .toDF("vec_id", "v", "nrm", "bkts")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stagePath: checkpoint the signature table to parquet so the bucket
+    // join + exact re-rank downstream runs over externally readable bits —
+    // the q28c driver check oracle-verifies that dataflow in DuckDB (the
+    // hyperplane kernel itself is rows-only by nature)
+    val hashed = stagePath match {
+      case Some(p) =>
+        hashedRaw.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None =>
+        hashedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val buckets = hashed.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("bkts")).as(Seq("t", "bkt")))
     val qb = buckets.filter(col("vec_id").isin(queryIds: _*))
@@ -134,7 +145,7 @@ object AnnOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("vid"), col("sq"))
-    OpUtil.finish(out, hashed)
+    if (stagePath.isDefined) out else OpUtil.finish(out, hashed)
   }
 
   /** IVF-style ANN (the scale path): build centroids per coarse partition

@@ -62,6 +62,16 @@ object SpatialOps {
     if (rOverride >= 0) rOverride
     else pickRes(estimateRows(points), geoms, target, coverBudget)
 
+  /** Stored-table resolution pick: the snapshot manifest carries an EXACT
+    * live-row count (zero scans — [[graft.table.SnapshotStore.totalRows]]),
+    * so queries over a stored table skip the size-in-bytes estimate:
+    * {{{
+    * val r = SpatialOps.resolveRes(store, boxes.map(_._2))
+    * SpatialOps.boxJoin(store.read(Some(box))._1, boxes, r)
+    * }}} */
+  def resolveRes(store: graft.table.SnapshotStore, geoms: Seq[MBR]): Int =
+    pickRes(store.totalRows, geoms)
+
   /** Pure core of [[resolveRes]] — unit-testable without a SparkSession. */
   def pickRes(rowEstimate: Long, geoms: Seq[MBR],
               target: Long = TargetRowsPerCell,

@@ -286,6 +286,36 @@ object OracleSql {
        |FROM ref WHERE inter / (na + nb - inter) >= ${d(threshold)}""".stripMargin
   }
 
+  /** LSH-ANN bucket-join + exact cosine re-rank over the STAGED signature
+    * table ([[graft.ops.AnnOps.annLsh]] with stagePath): candidates are
+    * rows sharing any (table, bucket) with a query, scored with the same
+    * staged double vectors/norms and quantized similarity, ranked desc
+    * with vec_id tie-break. Oracle-checks the dataflow after the (rows-
+    * only) hyperplane kernel. */
+  def annLshStaged(stagePath: String, queryIds: Seq[Int], k: Int,
+                   tables: Int): String = {
+    val ts = (1 to tables).map(i => s"($i)").mkString(",")
+    val ids = queryIds.mkString(", ")
+    s"""WITH h AS (SELECT vec_id, v, nrm, bkts FROM read_parquet('$stagePath/*.parquet')),
+       |b AS (SELECT vec_id, i AS t, bkts[i] AS bkt
+       |      FROM h CROSS JOIN (VALUES $ts) tt(i)),
+       |qb AS (SELECT vec_id AS qid, t, bkt FROM b WHERE vec_id IN ($ids)),
+       |cand AS (
+       |  SELECT DISTINCT qb.qid, b.vec_id AS vid
+       |  FROM b JOIN qb ON b.t = qb.t AND b.bkt = qb.bkt),
+       |scored AS (
+       |  SELECT c.qid, c.vid,
+       |         CAST(floor(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm) * 1000000) AS BIGINT) AS sq
+       |  FROM cand c
+       |  JOIN h q ON q.vec_id = c.qid
+       |  JOIN h x ON x.vec_id = c.vid),
+       |ranked AS (
+       |  SELECT qid, vid, sq,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vid, sq FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Double-cast dot product — twin of AnnOps.dot (each float cast to
     * double before multiply; quantized before any comparison). */
   private val normCte: String =

@@ -41,9 +41,11 @@ class EndToEndSpec extends AnyFunSuite {
       pts.select(col("id"), col("lat"), col("lon")), r = 8, numPartitions = 8)
     assert(gi.totalRows == 600)
 
-    // plan-time adaptive resolution from manifest stats (no data scan)
+    // plan-time adaptive resolution from manifest stats (no data scan):
+    // the stored-table overload reads the exact manifest row count
     assert(store.totalRows == 600)
-    val rAuto = graft.geo.CellId.pickResolution(store.totalRows, 64)
+    val rAuto = SpatialOps.resolveRes(store, Seq(MBR(-30.0, -90.0, 30.0, 90.0)))
+    assert(rAuto == SpatialOps.pickRes(600L, Seq(MBR(-30.0, -90.0, 30.0, 90.0))))
     val boxQ = SpatialOps.rangeBox(pts, MBR(-30.0, -90.0, 30.0, 90.0), rAuto)
       .select("id").collect().map(_.getLong(0)).toSet
 

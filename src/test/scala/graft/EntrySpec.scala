@@ -40,7 +40,7 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = qs -- os
     // the intentional rows-only set (hash-based / image ops)
     assert(rowsOnly == Set("q26_simhash", "q26b_simhash_pairs",
-      "q27_fingerprint", "q28b_ann_ivf", "q28c_ann_lsh", "q28d_ann_ivf_kmeans",
+      "q27_fingerprint", "q28b_ann_ivf", "q28d_ann_ivf_kmeans",
       "q40_image_decode", "q41_image_embed", "q42_image_resize", "q43_image_neardup",
       "q44_frame_sample", "q45_audio_features"),
       s"unexpected rows-only queries: $rowsOnly")
