@@ -38,10 +38,12 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   * wall-clock metrics make multi-unit jobs resumable: a rerun skips units
   * already present in the current snapshot ([[resumableRun]]).
   */
-final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
+final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
+                          histRes: Int = 8) {
 
   private val metaDir = Paths.get(root, "meta")
   private val currentPtr = metaDir.resolve("current")
+  private val histDir = metaDir.resolve("hist")
   Files.createDirectories(metaDir)
   Files.createDirectories(Paths.get(root, "data"))
 
@@ -145,7 +147,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
   /** Append a (lat, lon, …) DataFrame as one lineage unit: Z-cluster it
     * (repartitionByRange + sortWithinPartitions — the bulk-load pack),
     * write immutable parquet, derive per-file stats from the written files
-    * themselves, and commit parent-manifest + new entries atomically. */
+    * themselves, and commit parent-manifest + new entries atomically.
+    * A per-cell histogram of the unit is persisted alongside the manifest
+    * — the write-time skew statistics [[hotCells]] serves at plan time. */
   def append(df: DataFrame, lineageId: String, numPartitions: Int = 0): Long = {
     val t0 = System.nanoTime()
     val parts = if (numPartitions > 0) numPartitions
@@ -155,8 +159,54 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
+    writeHist(unitDir, lineageId)
     val wallMs = (System.nanoTime() - t0) / 1000000
     commit(footerStats(unitDir, lineageId, wallMs, withZ = true))
+  }
+
+  /** Persist the unit's per-cell histogram (one columnar lat/lon pass over
+    * the files just written — a write-time cost). Written BEFORE the
+    * commit: an aborted commit leaves an orphan histogram, which only
+    * OVERCOUNTS — [[hotCells]] is an upper-bound hint, and salting a cell
+    * that is not actually hot costs a few broadcast rows, never
+    * correctness. */
+  private def writeHist(unitDir: String, lineageId: String): Unit =
+    spark.read.parquet(unitDir)
+      .groupBy(GeoCols.cellCol(col("lat"), col("lon"), histRes).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(histDir.resolve(lineageId).toString)
+
+  /** Write-time hot-cell set at resolution `r` — the zero-query-time-scan
+    * input to [[graft.ops.SpatialOps.boxJoinSalted]]. Counts come from the
+    * persisted per-unit histograms (kept at `histRes`): rolled up through
+    * parent cells for coarser r, expanded to descendants for finer r.
+    * Both directions yield a SUPERSET of the truly-hot set (deletes are
+    * not subtracted either) — exactly the safe side for a salting hint. */
+  def hotCells(r: Int, hotThreshold: Double = 0.05): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    val dirs = if (Files.exists(histDir))
+      Files.list(histDir).iterator().asScala.toSeq.map(_.toString) else Seq.empty
+    if (dirs.isEmpty) return Set.empty
+    val cells = spark.read.parquet(dirs: _*)
+      .groupBy("cell").agg(sum(col("cnt")).as("cnt"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val total = cells.map(_._2).sum
+    val hotAtHist = cells.filter(_._2 > total * hotThreshold).map(_._1)
+    if (r == histRes) hotAtHist.toSet
+    else if (r < histRes)
+      // roll counts up to r first — children of one hot parent may each
+      // sit below the threshold individually
+      cells.map { case (c, n) =>
+        (Iterator.iterate((c, histRes)) { case (cc, rr) =>
+          (CellId.parent(cc, rr), rr - 1) }.drop(histRes - r).next()._1, n)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .filter(_._2 > total * hotThreshold).map(_._1).toSet
+    else
+      // finer r: a hot cell's descendants (superset hint)
+      hotAtHist.flatMap(c =>
+        (histRes until r).foldLeft(Seq(c)) { case (cs, rr) =>
+          cs.flatMap(CellId.children(_, rr)) }).toSet
   }
 
   /** Manifest-append commit: parent entries + new entries → snap-(n+1),
@@ -312,6 +362,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12) {
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val lineage = s"compact-${currentSnapshotId + 1}"
+    // refresh the write-time histograms: deletes are folded in now, so the
+    // upper-bound hint tightens back to exact counts
+    deleteRecursive(histDir)
+    writeHist(unitDir, lineage)
     val stats = footerStats(unitDir, lineage, wallMs, withZ = true)
     // replacing commit: new manifest = compacted entries + ORIGINAL
     // lineage ids as zero-file markers so resumableRun still skips them

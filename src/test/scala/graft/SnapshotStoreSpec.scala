@@ -255,6 +255,43 @@ class SnapshotStoreSpec extends AnyFunSuite {
       try Files.delete(f) catch { case _: Throwable => () })
   }
 
+  test("write-time hot-cell stats: rollup == query-time histogram; salted join exact") {
+    import graft.ops.SpatialOps
+    // skewed cloud: 30% of rows share one phash → one planted hot cell
+    val skewed = Synth.imagePoints(
+        Synth.table(spark, 4000, seed = 7L, hotspotFrac = 0.3).toDF())
+      .withColumn("id", xxhash64(col("image_id")))
+      .select("id", "lat", "lon")
+    val st = new SnapshotStore(spark, tmp())
+    st.append(skewed, "u-0", numPartitions = 4)
+    def liveHot(r: Int) = SpatialOps.hotCellsFromHistogram(
+      SpatialOps.tileHistogram(skewed, r), 0.05)
+    // coarser than histRes: parent rollup, exact vs a query-time scan
+    val r = graft.data.Fixtures.JoinRes
+    assert(liveHot(r).nonEmpty)
+    assert(st.hotCells(r, 0.05) == liveHot(r))
+    // at histRes: direct
+    assert(st.hotCells(8, 0.05) == liveHot(8))
+    // finer than histRes: descendant expansion is a superset of truly hot
+    assert(liveHot(10).subsetOf(st.hotCells(10, 0.05)))
+    // the salted join fed by WRITE-TIME stats == the plain join (no
+    // query-time histogram scan anywhere on this path)
+    val (tbl, _, _) = st.read()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getInt(0), x.getLong(1))).sortBy(t => t).toSeq
+    val boxes = graft.data.Fixtures.boxes
+    assert(norm(SpatialOps.boxJoinSalted(tbl, boxes, rOverride = r,
+        hotCells = Some(st.hotCells(r)))) ==
+      norm(SpatialOps.boxJoin(tbl, boxes, r)))
+    // deletes keep the hint an upper bound; compaction tightens it exact
+    st.deleteWhere(col("id") % 2 === 0, "del-0")
+    assert(liveHot(r).subsetOf(st.hotCells(r, 0.05)))
+    st.compact(numPartitions = 2)
+    val liveAfter = SpatialOps.hotCellsFromHistogram(
+      SpatialOps.tileHistogram(st.read()._1, r), 0.05)
+    assert(st.hotCells(r, 0.05) == liveAfter)
+  }
+
   test("image table through the store: payload intact after cluster+commit") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
