@@ -107,19 +107,22 @@ object SparkEntry {
     "q25_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), stagePath = Some(Q25StagePath))),
     "q26_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
-    "q26b_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "q26b_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), stagePath = Some(Q26bStagePath))),
     "q27_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "q28_ann_topk" -> ((s, dir) =>
       AnnOps.cosineTopK(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q28b_ann_ivf" -> ((s, dir) =>
-      AnnOps.annIvf(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+      AnnOps.annIvf(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK,
+        stagePaths = Some((Q28bVecPath, Q28bCentPath)))),
     // signature table staged to parquet → DuckDB oracle re-runs the bucket
     // join + exact cosine re-rank (same pattern as q25)
     "q28c_ann_lsh" -> ((s, dir) =>
       AnnOps.annLsh(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK,
         stagePath = Some(Q28cStagePath))),
     "q28d_ann_ivf_kmeans" -> ((s, dir) =>
-      AnnOps.annIvfKmeans(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
+      AnnOps.annIvfKmeans(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK,
+        stagePaths = Some((Q28dVecPath, Q28dCentPath)))),
     "q29_embed_neardup" -> ((s, dir) => AnnOps.nearDupPairs(emb(s, dir), 29, 250000L)),
     "q30_window_agg" -> ((s, dir) =>
       EventOps.windowAgg(s.read.parquet(s"$dir/events.parquet"))),
@@ -182,7 +185,8 @@ object SparkEntry {
     "q43_image_neardup" -> ((s, _) =>
       graft.ops.ImageOps.phashNearDup(
         graft.ops.ImageOps.withPlantedNearDups(
-          graft.data.Synth.table(s, 400).toDF(), everyN = 20))),
+          graft.data.Synth.table(s, 400).toDF(), everyN = 20),
+        stagePath = Some(Q43StagePath))),
     // frame sampling over the opaque video container (multimodal op:
     // every 2nd frame decoded partition-wise, scalar projection for the
     // driver; container codec + sampling pinned in VideoOpsSpec)
@@ -219,7 +223,13 @@ object SparkEntry {
   /** Fixed signature-staging paths — referenced by BOTH the Spark queries
     * and their DuckDB oracle SQL, which must read the same bits. */
   val Q25StagePath = "/tmp/graft_q25_sig"
+  val Q26bStagePath = "/tmp/graft_q26b_sig"
   val Q28cStagePath = "/tmp/graft_q28c_sig"
+  val Q28bVecPath = "/tmp/graft_q28b_vec"
+  val Q28bCentPath = "/tmp/graft_q28b_cent"
+  val Q28dVecPath = "/tmp/graft_q28d_vec"
+  val Q28dCentPath = "/tmp/graft_q28d_cent"
+  val Q43StagePath = "/tmp/graft_q43_sig"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -264,6 +274,14 @@ object SparkEntry {
     "q28_ann_topk" -> OracleSql.annTopK(Fixtures.annQueryIds, Fixtures.annK),
     "q28c_ann_lsh" -> OracleSql.annLshStaged(Q28cStagePath,
       Fixtures.annQueryIds, Fixtures.annK, tables = 8),
+    "q26b_simhash_pairs" -> OracleSql.hammingPairsStaged(Q26bStagePath,
+      "doc_id", "simhash", 3),
+    "q43_image_neardup" -> OracleSql.hammingPairsStaged(Q43StagePath,
+      "image_id", "phash", 3),
+    "q28b_ann_ivf" -> OracleSql.annIvfStaged(Q28bVecPath, Q28bCentPath,
+      Fixtures.annQueryIds, Fixtures.annK, nprobe = 2),
+    "q28d_ann_ivf_kmeans" -> OracleSql.annIvfStaged(Q28dVecPath, Q28dCentPath,
+      Fixtures.annQueryIds, Fixtures.annK, nprobe = 2),
     "q29_embed_neardup" -> OracleSql.nearDupPairs(29, 250000L),
     "q30_window_agg" -> OracleSql.windowAgg,
     "q31_stream_window" -> OracleSql.windowAgg,

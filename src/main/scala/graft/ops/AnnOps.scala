@@ -155,9 +155,10 @@ object AnnOps {
     * of (tiny) centroids; corpus side shuffles once on list id at build
     * time, never at query time. Approximate → verified by a recall spec,
     * rows-only driver check. */
-  def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int, nprobe: Int = 2): DataFrame =
+  def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int, nprobe: Int = 2,
+             stagePaths: Option[(String, String)] = None): DataFrame =
     annIvfLists(withNorm(emb).withColumn("list", col("label").cast("int")),
-      queryIds, k, nprobe)
+      queryIds, k, nprobe, stagePaths)
 
   /** Element-wise mean vector per list via the typed partial-sum kernel:
     * each partition emits ≤ |lists| (sum[dim], count) rows, folded on the
@@ -196,13 +197,27 @@ object AnnOps {
 
   /** IVF search over an arbitrary list assignment: centroid per list
     * (element-wise mean), route each query to its nprobe nearest
-    * centroids, exact search within routed lists only. */
-  private def annIvfLists(e: DataFrame, queryIds: Seq[Int], k: Int,
-                          nprobe: Int): DataFrame = {
-    val spark = e.sparkSession
+    * centroids, exact search within routed lists only.
+    *
+    * `stagePaths = Some((vecPath, centPath))` checkpoints the listed
+    * vectors and the centroids to parquet and searches FROM the staged
+    * bits, so the routing + list-search + rank dataflow is DuckDB-oracle-
+    * checked (q28b/q28d) — the centroid mean kernel stays spec-checked. */
+  private def annIvfLists(e0: DataFrame, queryIds: Seq[Int], k: Int,
+                          nprobe: Int,
+                          stagePaths: Option[(String, String)] = None): DataFrame = {
+    val spark = e0.sparkSession
     import spark.implicits._
-    val cent = listCentroids(e).toDF("list", "cv")
+    val cent0 = listCentroids(e0).toDF("list", "cv")
       .withColumn("cnrm", norm(col("cv")))
+    val (e, cent) = stagePaths match {
+      case Some((pv, pc)) =>
+        e0.select(col("vec_id"), col("v"), col("nrm"), col("list"))
+          .write.mode("overwrite").parquet(pv)
+        cent0.write.mode("overwrite").parquet(pc)
+        (spark.read.parquet(pv), spark.read.parquet(pc))
+      case None => (e0, cent0)
+    }
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     // route: top-nprobe centroid lists per query
@@ -271,10 +286,11 @@ object AnnOps {
   /** IVF ANN over k-means lists (the end-to-end scale path: build lists
     * once at write time with [[kmeans]], search with [[annIvfLists]]). */
   def annIvfKmeans(emb: DataFrame, queryIds: Seq[Int], k: Int,
-                   kClusters: Int = 8, iters: Int = 4, nprobe: Int = 2): DataFrame = {
+                   kClusters: Int = 8, iters: Int = 4, nprobe: Int = 2,
+                   stagePaths: Option[(String, String)] = None): DataFrame = {
     val (assign, _) = kmeans(emb, kClusters, iters)
     val e = withNorm(emb)
       .join(assign.withColumnRenamed("cluster", "list"), "vec_id")
-    annIvfLists(e, queryIds, k, nprobe)
+    annIvfLists(e, queryIds, k, nprobe, stagePaths)
   }
 }

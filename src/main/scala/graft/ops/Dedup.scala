@@ -315,10 +315,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: Hamming blocking ([[hammingBlockPairs]] —
     * quarter keys by default, more/narrower blocks at corpus scale), then
-    * refine with bit_count(xor) <= maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
-    val sh = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    OpUtil.finish(hammingBlockPairs(sh, "doc_id", "simhash", maxHamming, blocks), sh)
+    * refine with bit_count(xor) <= maxHamming. With `stagePath` the
+    * (doc_id, simhash) table is checkpointed to parquet so the blocking
+    * join + refine dataflow is DuckDB-oracle-checked (q26b). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                   stagePath: Option[String] = None): DataFrame = {
+    val shRaw = simhash(docs)
+    val sh = stagePath match {
+      case Some(p) =>
+        shRaw.write.mode("overwrite").parquet(p)
+        docs.sparkSession.read.parquet(p)
+      case None =>
+        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val out = hammingBlockPairs(sh, "doc_id", "simhash", maxHamming, blocks)
+    if (stagePath.isDefined) out else OpUtil.finish(out, sh)
   }
 }

@@ -92,8 +92,18 @@ object ImageOps {
     * equi-join is the only feasible all-pairs path, and because phash is
     * table METADATA the bytes column never leaves the scan (plan-verified
     * column pruning). */
-  def phashNearDup(images: DataFrame, maxHamming: Int = 3, blocks: Int = 4): DataFrame =
-    Dedup.hammingBlockPairs(images, "image_id", "phash", maxHamming, blocks)
+  def phashNearDup(images: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                   stagePath: Option[String] = None): DataFrame = stagePath match {
+    case Some(p) =>
+      // checkpoint the (image_id, phash) metadata slice so the blocking
+      // join + refine dataflow is DuckDB-oracle-checked (q43); bytes never
+      // touch the staging either
+      images.select("image_id", "phash").write.mode("overwrite").parquet(p)
+      Dedup.hammingBlockPairs(images.sparkSession.read.parquet(p),
+        "image_id", "phash", maxHamming, blocks)
+    case None =>
+      Dedup.hammingBlockPairs(images, "image_id", "phash", maxHamming, blocks)
+  }
 
   /** Deterministic near-duplicate plant: every `everyN`-th image decoded,
     * re-encoded as high-quality JPEG (same pixels module lossy error),

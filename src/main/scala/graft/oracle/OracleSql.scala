@@ -316,6 +316,58 @@ object OracleSql {
        |SELECT qid, rank, vid, sq FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Quarter-blocked Hamming near-dup pairs over a STAGED (id, hash64)
+    * table ([[graft.ops.Dedup.hammingBlockPairs]] dataflow): candidates
+    * share a bit-equal 16-bit quarter (arithmetic shift + mask — the mask
+    * discards sign-extension bits, so it equals the logical shift), refine
+    * with bit_count(xor) ≤ maxHamming. Any pair within maxHamming ≤ 3
+    * shares a quarter (pigeonhole), so candidate-set differences between
+    * the engines cannot survive the refine. Used by q26b (simhash) and
+    * q43 (image phash). */
+  def hammingPairsStaged(stagePath: String, idCol: String, hashCol: String,
+                         maxHamming: Int): String = {
+    val qs = (0 until 4).map(q =>
+      s"((a.hh >> ${q * 16}) & 65535) = ((b.hh >> ${q * 16}) & 65535)")
+      .mkString("(", " OR ", ")")
+    s"""WITH h AS (SELECT $idCol AS id, $hashCol AS hh FROM read_parquet('$stagePath/*.parquet')),
+       |cand AS (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |         CAST(bit_count(xor(a.hh, b.hh)) AS INTEGER) AS hamming
+       |  FROM h a JOIN h b ON a.id < b.id AND $qs)
+       |SELECT DISTINCT a_id, b_id, hamming FROM cand WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  /** IVF routing + list search + rank over STAGED tables
+    * ([[graft.ops.AnnOps.annIvf]]/annIvfKmeans with stagePaths): vectors
+    * with their list assignment and the Spark-computed centroids are both
+    * parquet; the oracle re-routes each query to its nprobe best centroids
+    * and re-ranks within the routed lists — checking the dataflow while
+    * the centroid mean kernel stays spec-checked. */
+  def annIvfStaged(vecPath: String, centPath: String, queryIds: Seq[Int],
+                   k: Int, nprobe: Int): String = {
+    val ids = queryIds.mkString(", ")
+    def sq(a: String, an: String, b: String, bn: String) =
+      s"CAST(floor(${dotSql(a, b)} / ($an * $bn) * 1000000) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, v, nrm, list FROM read_parquet('$vecPath/*.parquet')),
+       |c AS (SELECT list, cv, cnrm FROM read_parquet('$centPath/*.parquet')),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id IN ($ids)),
+       |routed AS (
+       |  SELECT qid, qv, qnrm, list,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY ${sq("qv", "qnrm", "cv", "cnrm")} DESC, list) AS rr
+       |  FROM q CROSS JOIN c),
+       |scored AS (
+       |  SELECT r.qid, e.vec_id AS vid,
+       |         ${sq("r.qv", "r.qnrm", "e.v", "e.nrm")} AS sq
+       |  FROM routed r JOIN e ON e.list = r.list
+       |  WHERE r.rr <= $nprobe),
+       |ranked AS (
+       |  SELECT qid, vid, sq,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vid, sq FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Double-cast dot product — twin of AnnOps.dot (each float cast to
     * double before multiply; quantized before any comparison). */
   private val normCte: String =

@@ -38,10 +38,12 @@ class EntrySpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
     val rowsOnly = qs -- os
-    // the intentional rows-only set (hash-based / image ops)
-    assert(rowsOnly == Set("q26_simhash", "q26b_simhash_pairs",
-      "q27_fingerprint", "q28b_ann_ivf", "q28d_ann_ivf_kmeans",
-      "q40_image_decode", "q41_image_embed", "q42_image_resize", "q43_image_neardup",
+    // the intentional rows-only set: PURE per-row kernels only (every
+    // multi-operator dataflow — joins, banding, routing, ranking — is
+    // oracle-checked, via staged tables where the kernel output is the
+    // dataflow's input)
+    assert(rowsOnly == Set("q26_simhash", "q27_fingerprint",
+      "q40_image_decode", "q41_image_embed", "q42_image_resize",
       "q44_frame_sample", "q45_audio_features"),
       s"unexpected rows-only queries: $rowsOnly")
   }
