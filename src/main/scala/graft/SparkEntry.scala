@@ -129,6 +129,9 @@ object SparkEntry {
     "q31_stream_window" -> ((s, dir) => EventOps.streamWindowAgg(s, dir)),
     "q32_stream_dedup" -> ((s, dir) => Dedup.streamDedup(s, dir)),
     "q33_stream_tiles" -> ((s, dir) => EventOps.streamTileHistogram(s, dir)),
+    // stateless streaming spatial join (zone alerting): stream == batch
+    // under the q09b boxJoin oracle
+    "q35_stream_boxjoin" -> ((s, dir) => EventOps.streamBoxJoin(s, dir)),
     // streaming INGESTION into the snapshot store (the production sink):
     // file stream → derive points → per-micro-batch idempotent commits →
     // read the committed table back → tile histogram under the batch
@@ -187,6 +190,15 @@ object SparkEntry {
         graft.ops.ImageOps.withPlantedNearDups(
           graft.data.Synth.table(s, 400).toDF(), everyN = 20),
         stagePath = Some(Q43StagePath))),
+    // full curation composite (quality filter → visual near-dup drop →
+    // tile-balanced sample) over the image table with planted dups —
+    // metadata slice staged so the whole dataflow is oracle-checked
+    "q46_curate" -> ((s, _) =>
+      graft.ops.ImageOps.curate(
+        graft.ops.ImageOps.withPlantedNearDups(
+          graft.data.Synth.table(s, 400).toDF(), everyN = 20),
+        minTokens = 7, maxHamming = 3, perTile = 4, r = Fixtures.TileRes,
+        stagePath = Some(Q46StagePath))),
     // frame sampling over the opaque video container (multimodal op:
     // every 2nd frame decoded partition-wise, scalar projection for the
     // driver; container codec + sampling pinned in VideoOpsSpec)
@@ -230,6 +242,7 @@ object SparkEntry {
   val Q28dVecPath = "/tmp/graft_q28d_vec"
   val Q28dCentPath = "/tmp/graft_q28d_cent"
   val Q43StagePath = "/tmp/graft_q43_sig"
+  val Q46StagePath = "/tmp/graft_q46_meta"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -278,6 +291,8 @@ object SparkEntry {
       "doc_id", "simhash", 3),
     "q43_image_neardup" -> OracleSql.hammingPairsStaged(Q43StagePath,
       "image_id", "phash", 3),
+    "q46_curate" -> OracleSql.curateStaged(Q46StagePath,
+      minTokens = 7, maxHamming = 3, perTile = 4, r = Fixtures.TileRes),
     "q28b_ann_ivf" -> OracleSql.annIvfStaged(Q28bVecPath, Q28bCentPath,
       Fixtures.annQueryIds, Fixtures.annK, nprobe = 2),
     "q28d_ann_ivf_kmeans" -> OracleSql.annIvfStaged(Q28dVecPath, Q28dCentPath,
@@ -294,5 +309,7 @@ object SparkEntry {
     // stream-ingested snapshot table == the batch table, checked through
     // the same histogram oracle
     "q34_stream_ingest" -> OracleSql.tileHistogram(Fixtures.TileRes),
+    // stateless streaming join == the batch boxJoin oracle
+    "q35_stream_boxjoin" -> OracleSql.boxJoin(Fixtures.boxes),
   )
 }

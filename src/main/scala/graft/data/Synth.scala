@@ -23,8 +23,14 @@ case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
   */
 object Synth {
 
-  def caption(imageId: String, h: Long): String =
-    s"synthetic image $imageId tile scene ${(h & Long.MaxValue) % 1000}"
+  /** Deterministic caption: 6 base tokens + 0..3 extra tag tokens derived
+    * from the same hash — variable length so caption-quality filters have
+    * a real distribution to cut (exact-recompute invariant unchanged). */
+  def caption(imageId: String, h: Long): String = {
+    val base = s"synthetic image $imageId tile scene ${(h & Long.MaxValue) % 1000}"
+    val extra = (((h >>> 10) & Long.MaxValue) % 4).toInt
+    base + (1 to extra).map(i => s" tag${(h >>> (i * 8)) & 15}").mkString
+  }
 
   /** Generate row i. `hotspotFrac > 0` plants near-identical rasters (tiny
     * pixel perturbations that survive average-hash) so a fraction of rows

@@ -69,6 +69,26 @@ object EventOps {
     spark.table(name)
   }
 
+  /** Stateless streaming spatial join — the multi-box join under
+    * incremental execution: each micro-batch's derived points hash-join
+    * the broadcast covering cells (stream-static join, static side built
+    * once) and refine exactly; append mode, no state, no watermark. This
+    * is the "point entered zone" alerting shape at ingest latency, under
+    * the SAME oracle as the batch join (stateless ⇒ stream == batch). */
+  def streamBoxJoin(spark: SparkSession, dir: String,
+                    boxes: Seq[(Int, graft.geo.MBR)] = graft.data.Fixtures.boxes,
+                    r: Int = graft.data.Fixtures.JoinRes): DataFrame = {
+    val name = s"graft_streambox_${sinkCounter.incrementAndGet()}"
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val out = graft.ops.SpatialOps.boxJoin(graft.data.Points.derive(src), boxes, r)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Watermarked sliding-window variant (streaming-only semantics: late
     * rows beyond the watermark are dropped) — exercised by the streaming
     * spec; batch data arrives in one micro-batch so nothing is late. */

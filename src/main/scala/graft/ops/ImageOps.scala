@@ -105,6 +105,52 @@ object ImageOps {
       Dedup.hammingBlockPairs(images, "image_id", "phash", maxHamming, blocks)
   }
 
+  /** End-to-end training-data curation over the image+caption table — the
+    * composite a 10¹²-image corpus runs before training:
+    *
+    *  1. '''quality''': keep rows whose caption has ≥ `minTokens`
+    *     whitespace tokens;
+    *  2. '''visual dedup''': quarter-blocked phash near-dup pairs over the
+    *     survivors; the HIGHER image_id of every pair is dropped
+    *     (deterministic keep-first — an id linked only to an already-
+    *     dropped id still drops: the rule is "appears as b in any pair",
+    *     chosen because it is order-free and engine-independent);
+    *  3. '''tile-balanced sample''': derive (lat, lon) from phash, assign
+    *     the resolution-r cell, keep the `perTile` lowest image_ids per
+    *     cell — caps any one spatial bucket's contribution (hotspot
+    *     control for the skewed corpus).
+    *
+    * Every stage runs on metadata columns only — bytes never leave the
+    * scan. Output: (image_id, cell) of survivors. With `stagePath` the
+    * metadata slice is checkpointed to parquet and the WHOLE composite is
+    * DuckDB-oracle-checked (q46). */
+  def curate(images: DataFrame, minTokens: Int, maxHamming: Int,
+             perTile: Int, r: Int,
+             stagePath: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta0 = images.select(col("image_id"), col("caption"), col("phash"))
+    val meta = stagePath match {
+      case Some(p) =>
+        meta0.write.mode("overwrite").parquet(p)
+        images.sparkSession.read.parquet(p)
+      case None => meta0
+    }
+    val q = meta.filter(size(split(col("caption"), " ")) >= minTokens)
+    val dups = Dedup.hammingBlockPairs(q, "image_id", "phash", maxHamming)
+      .select(col("b_id").as("image_id")).distinct()
+    // near-dups are a sliver of the corpus by construction: the anti-join
+    // shuffles both sides on image_id, no broadcast assumption needed
+    val kept = q.join(dups, Seq("image_id"), "left_anti")
+    val pts = kept
+      .withColumn("lat", graft.geo.GeoCols.geoFromPhashLat(col("phash")))
+      .withColumn("lon", graft.geo.GeoCols.geoFromPhashLon(col("phash")))
+      .withColumn("cell", graft.geo.GeoCols.cellCol(col("lat"), col("lon"), r))
+    val w = Window.partitionBy(col("cell")).orderBy(col("image_id"))
+    pts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perTile)
+      .select(col("image_id"), col("cell"))
+  }
+
   /** Deterministic near-duplicate plant: every `everyN`-th image decoded,
     * re-encoded as high-quality JPEG (same pixels module lossy error),
     * appended with a `<id>_p` image_id — the fixture generator for

@@ -368,6 +368,37 @@ object OracleSql {
        |SELECT qid, rank, vid, sq FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Full curation composite over the STAGED image metadata slice
+    * ([[graft.ops.ImageOps.curate]]): caption-token quality filter →
+    * quarter-blocked phash near-dup drop (higher id of every pair) →
+    * phash-derived points → resolution-r cell → per-cell keep-lowest
+    * sample. The arithmetic mirrors GeoCols.geoFromPhash* exactly:
+    * (phash >> k) & mask equals the unsigned shift once masked, the
+    * modulo operands are non-negative, and the one double division is
+    * by 1000.0 in both engines. */
+  def curateStaged(stagePath: String, minTokens: Int, maxHamming: Int,
+                   perTile: Int, r: Int): String = {
+    val qs = (0 until 4).map(q =>
+      s"((a.phash >> ${q * 16}) & 65535) = ((b.phash >> ${q * 16}) & 65535)")
+      .mkString("(", " OR ", ")")
+    val lat = "((phash >> 32) & 4294967295) % 180000 / 1000.0 - 90.0"
+    val lon = "(phash & 4294967295) % 360000 / 1000.0 - 180.0"
+    s"""WITH m AS (SELECT image_id, caption, phash FROM read_parquet('$stagePath/*.parquet')),
+       |q AS (SELECT * FROM m WHERE len(string_split(caption, ' ')) >= $minTokens),
+       |dup AS (
+       |  SELECT DISTINCT b.image_id
+       |  FROM q a JOIN q b ON a.image_id < b.image_id AND $qs
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming),
+       |kept AS (SELECT q.* FROM q ANTI JOIN dup USING (image_id)),
+       |pts AS (SELECT image_id, $lat AS lat, $lon AS lon FROM kept),
+       |cells AS (SELECT image_id, ${cellSql("lat", "lon", r)} AS cell FROM pts),
+       |ranked AS (
+       |  SELECT image_id, cell,
+       |         row_number() OVER (PARTITION BY cell ORDER BY image_id) AS rn
+       |  FROM cells)
+       |SELECT image_id, cell FROM ranked WHERE rn <= $perTile""".stripMargin
+  }
+
   /** Double-cast dot product — twin of AnnOps.dot (each float cast to
     * double before multiply; quantized before any comparison). */
   private val normCte: String =

@@ -21,6 +21,35 @@ class ImageOpsSpec extends AnyFunSuite {
 
   lazy val images = Synth.table(spark, 48, seed = 5L).toDF().cache()
 
+  test("curate: quality filter -> near-dup drop -> per-tile cap == in-memory oracle") {
+    val planted = ImageOps.withPlantedNearDups(images, everyN = 4)
+    val (minTokens, maxHamming, perTile, r) = (7, 3, 3, 4)
+    val got = ImageOps.curate(planted, minTokens, maxHamming, perTile, r)
+      .collect().map(x => (x.getString(0), x.getLong(1))).sorted.toSeq
+    // in-memory oracle over the collected metadata
+    val meta = planted.select("image_id", "caption", "phash").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val q = meta.filter(_._2.split(" ", -1).length >= minTokens)
+    assert(q.length < meta.length && q.nonEmpty, "quality filter must cut something")
+    val dropped = (for {
+      (a, _, ha) <- q; (b, _, hb) <- q
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= maxHamming
+    } yield b).toSet
+    assert(dropped.nonEmpty, "planted dups must be dropped")
+    val kept = q.filterNot(x => dropped.contains(x._1))
+    val cells = kept.map { case (id, _, ph) =>
+      val lat = ((ph >>> 32) % 180000L) / 1000.0 - 90.0
+      val lon = ((ph & 0xFFFFFFFFL) % 360000L) / 1000.0 - 180.0
+      (id, graft.geo.CellId.grid(lat, lon, r))
+    }
+    val exp = cells.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(_._1).take(perTile)
+    }.sorted.toSeq
+    assert(got == exp)
+    // a planted re-encode (higher "_p" id) never survives curation
+    assert(got.forall(!_._1.endsWith("_p")))
+  }
+
   test("phashNearDup: planted JPEG re-encodes recalled via quarter blocking") {
     val planted = ImageOps.withPlantedNearDups(images, everyN = 4).cache()
     assert(planted.count() == 48 + 12)

@@ -259,6 +259,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assigns.foreach { case (_, keeper, _) => assert(expGroups.contains(keeper)) }
   }
 
+  test("streaming boxJoin (stateless stream-static join) == batch boxJoin") {
+    val got = EventOps.streamBoxJoin(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val exp = graft.ops.SpatialOps.boxJoin(
+        graft.data.Points(spark, dir), Fixtures.boxes).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("streaming tile histogram == batch tile histogram") {
     val batch = graft.ops.SpatialOps.tileHistogram(
         graft.data.Points(spark, dir), Fixtures.TileRes)
