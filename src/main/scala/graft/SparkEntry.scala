@@ -22,7 +22,11 @@ object SparkEntry {
     import org.apache.spark.sql.functions._
     val images = graft.data.Synth.table(spark, 2000).toDF()
     // id MUST be partition-layout-independent (SURVEY §7.5 determinism):
-    // xxhash64(image_id), never monotonically_increasing_id
+    // xxhash64(image_id), never monotonically_increasing_id. The 64-bit
+    // hash is unique w.h.p. at demo scale; at the 10¹²-row design point
+    // expected collisions are ~n²/2⁶⁵ — consumers keying strictly on id
+    // there should pass image_id itself as the id column (every spatial
+    // operator is key-type-agnostic) or widen to a 128-bit pair.
     val pts = graft.data.Synth.imagePoints(images)
       .withColumn("id", xxhash64(col("image_id")))
     SpatialOps.boxJoin(pts, Fixtures.boxes)
@@ -220,11 +224,20 @@ object SparkEntry {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     try {
-      java.nio.file.Files.list(tmp).iterator().forEachRemaining { p =>
+      // streams closed explicitly — Files.list/walk leak a directory fd
+      // per call otherwise, and this helper runs once per storage query
+      val ls = java.nio.file.Files.list(tmp)
+      val tops = try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toSeq
+      } finally ls.close()
+      tops.foreach { p =>
         if (p.getFileName.toString.startsWith("graft_q") &&
             java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          val w = java.nio.file.Files.walk(p)
+          val all = try w.iterator().asScala.toSeq finally w.close()
+          all.reverse
             .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
         }
       }
@@ -232,17 +245,23 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
-  /** Fixed signature-staging paths — referenced by BOTH the Spark queries
-    * and their DuckDB oracle SQL, which must read the same bits. */
-  val Q25StagePath = "/tmp/graft_q25_sig"
-  val Q26bStagePath = "/tmp/graft_q26b_sig"
-  val Q28cStagePath = "/tmp/graft_q28c_sig"
-  val Q28bVecPath = "/tmp/graft_q28b_vec"
-  val Q28bCentPath = "/tmp/graft_q28b_cent"
-  val Q28dVecPath = "/tmp/graft_q28d_vec"
-  val Q28dCentPath = "/tmp/graft_q28d_cent"
-  val Q43StagePath = "/tmp/graft_q43_sig"
-  val Q46StagePath = "/tmp/graft_q46_meta"
+  /** Signature-staging paths — referenced by BOTH the Spark queries and
+    * their DuckDB oracle SQL (generated in the same JVM), which must read
+    * the same bits. Scoped by PID so concurrent runs (a bench next to a
+    * verify, two sessions) never clobber each other's staged tables
+    * mid-oracle-read; the `graft_q` prefix keeps them under the same
+    * 2-hour TTL sweep as the temp stores. */
+  private val stageRoot =
+    s"/tmp/graft_qstage_${ProcessHandle.current().pid()}"
+  val Q25StagePath = s"$stageRoot/q25_sig"
+  val Q26bStagePath = s"$stageRoot/q26b_sig"
+  val Q28cStagePath = s"$stageRoot/q28c_sig"
+  val Q28bVecPath = s"$stageRoot/q28b_vec"
+  val Q28bCentPath = s"$stageRoot/q28b_cent"
+  val Q28dVecPath = s"$stageRoot/q28d_vec"
+  val Q28dCentPath = s"$stageRoot/q28d_cent"
+  val Q43StagePath = s"$stageRoot/q43_sig"
+  val Q46StagePath = s"$stageRoot/q46_meta"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

@@ -43,6 +43,10 @@ object SpatialOps {
     * tables have an exact manifest count ([[graft.table.SnapshotStore
     * .totalRows]]); callers holding one pass r (or a hint) explicitly. */
   def estimateRows(df: DataFrame): Long = {
+    // streaming frames cannot be planned as a batch (optimizedPlan would
+    // throw) and their size is unbounded anyway: treat them as infinite —
+    // the covering budget alone then picks the resolution
+    if (df.isStreaming) return Long.MaxValue
     val width = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     df.queryExecution.optimizedPlan.stats.rowCount
@@ -298,20 +302,25 @@ object SpatialOps {
   def boxJoinSalted(points: DataFrame, boxes: Seq[(Int, MBR)],
                     rOverride: Int = AutoRes, saltFactor: Int = 8,
                     hotThreshold: Double = 0.05,
-                    hotCells: Option[Set[Long]] = None): DataFrame = {
+                    hotCells: Option[(Int, Set[Long])] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    // write-time hot cells are keyed at a specific resolution — honor the
-    // caller's pin; only the hint-free path adapts
-    val r = if (hotCells.isDefined && rOverride < 0) Fixtures.JoinRes
-      else resolveRes(points, boxes.map(_._2), rOverride)
+    // write-time hot cells carry the resolution they were keyed at — cell
+    // ids from different resolutions coincide numerically, so a mismatched
+    // hint would salt random cells and skip the genuinely hot one. The
+    // hint's resolution therefore WINS (and must agree with an explicit
+    // rOverride); only the hint-free path adapts.
+    require(hotCells.forall(h => rOverride < 0 || h._1 == rOverride),
+      s"hot-cell hint keyed at r=${hotCells.get._1} but rOverride=$rOverride")
+    val r = hotCells.map(_._1)
+      .getOrElse(resolveRes(points, boxes.map(_._2), rOverride))
     val pts = withCell(points, r)
     // Hot-cell stats belong at WRITE time (SnapshotStore manifests /
     // tileHistogram persisted with the table — see hotCellsFromHistogram);
     // callers pass them in and the join plan adds ZERO extra scans. The
     // fallback computes them here with ONE aggregate pass (histogram →
     // driver; total derived from the histogram, not a second count scan).
-    val hot: Set[Long] = hotCells.getOrElse(hotCellsFromHistogram(
+    val hot: Set[Long] = hotCells.map(_._2).getOrElse(hotCellsFromHistogram(
       pts.groupBy("cell").agg(count(lit(1)).as("cnt")), hotThreshold))
     val cells = boxes.flatMap { case (bid, b) =>
       CellId.cover(b, r).flatMap { c =>

@@ -26,15 +26,37 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamIngest {
 
+  /** Stable id scoped to THIS checkpoint: created with the checkpoint,
+    * read back on every restart from it. Batch ids are only comparable
+    * within one checkpoint's lifetime — a fresh checkpoint over an
+    * existing store restarts batchIds at 0, and bare `prefix-0` would
+    * collide with an OLD committed unit and silently drop new data. The
+    * token ties lineage ids to the offsets they are idempotent against. */
+  private def streamToken(checkpoint: String): String = {
+    val dir = java.nio.file.Paths.get(checkpoint)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("graft-stream-id")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim
+    else {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      java.nio.file.Files.writeString(f, id,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      id
+    }
+  }
+
   def run(src: DataFrame, store: SnapshotStore, checkpoint: String,
-          prefix: String = "stream-batch", numPartitions: Int = 0): StreamingQuery =
+          prefix: String = "stream-batch", numPartitions: Int = 0): StreamingQuery = {
+    val token = streamToken(checkpoint)
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val unit = s"$prefix-$batchId"
+        val unit = s"$prefix-$token-$batchId"
         if (!store.committedLineage.contains(unit))
           store.append(df, unit, numPartitions)
         ()
       }
       .start()
+  }
 }

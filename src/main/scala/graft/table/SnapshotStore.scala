@@ -166,16 +166,21 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
 
   /** Persist the unit's per-cell histogram (one columnar lat/lon pass over
     * the files just written — a write-time cost). Written BEFORE the
-    * commit: an aborted commit leaves an orphan histogram, which only
-    * OVERCOUNTS — [[hotCells]] is an upper-bound hint, and salting a cell
-    * that is not actually hot costs a few broadcast rows, never
-    * correctness. */
-  private def writeHist(unitDir: String, lineageId: String): Unit =
+    * commit, under a UNIQUE directory: an aborted commit or a repeated
+    * lineage id leaves extra histograms, which only OVERCOUNT —
+    * [[hotCells]] is an upper-bound hint, and salting a cell that is not
+    * actually hot costs a few broadcast rows, never correctness (an
+    * overwrite keyed by bare lineage id would instead UNDERCOUNT on a
+    * duplicate append, missing genuinely hot cells). */
+  private def writeHist(unitDir: String, lineageId: String): java.nio.file.Path = {
+    val dir = histDir.resolve(
+      s"$lineageId-${java.util.UUID.randomUUID().toString.take(8)}")
     spark.read.parquet(unitDir)
       .groupBy(GeoCols.cellCol(col("lat"), col("lon"), histRes).as("cell"))
       .agg(count(lit(1)).as("cnt"))
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(histDir.resolve(lineageId).toString)
+      .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    dir
+  }
 
   /** Write-time hot-cell set at resolution `r` — the zero-query-time-scan
     * input to [[graft.ops.SpatialOps.boxJoinSalted]]. Counts come from the
@@ -184,9 +189,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * Both directions yield a SUPERSET of the truly-hot set (deletes are
     * not subtracted either) — exactly the safe side for a salting hint. */
   def hotCells(r: Int, hotThreshold: Double = 0.05): Set[Long] = {
-    import scala.jdk.CollectionConverters._
-    val dirs = if (Files.exists(histDir))
-      Files.list(histDir).iterator().asScala.toSeq.map(_.toString) else Seq.empty
+    val dirs = if (Files.exists(histDir)) listDir(histDir).map(_.toString)
+      else Seq.empty
     if (dirs.isEmpty) return Set.empty
     val cells = spark.read.parquet(dirs: _*)
       .groupBy("cell").agg(sum(col("cnt")).as("cnt"))
@@ -249,25 +253,47 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   }
 
   /** Remove unreferenced commit leftovers: snap-k directories past the
-    * current pointer and stale current.tmp.* files. Safe because the
-    * pointer is the only source of truth — nothing past it is readable. */
+    * current pointer and stale current.tmp.* files. Nothing past the
+    * pointer is readable, BUT a fresh snap-(cur+1) may belong to a
+    * concurrent committer that has not swung the pointer yet — deleting it
+    * would reintroduce the silent lost-update the ErrorIfExists tripwire
+    * exists to catch. Only leftovers older than `orphanAgeMs` are swept:
+    * a live commit writes its manifest and swings the pointer within
+    * milliseconds, while crash debris is minutes old by the next commit. */
+  private val orphanAgeMs = 60000L
+
   private def sweepOrphans(): Unit = {
     val cur = currentSnapshotId
-    import scala.jdk.CollectionConverters._
-    Files.list(metaDir).iterator().asScala.toSeq.foreach { p =>
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
+    def stale(p: java.nio.file.Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: Throwable => false }
+    listDir(metaDir).foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("current.tmp.")) deleteRecursive(p)
-      else if (name.startsWith("snap-") &&
-               name.drop(5).forall(_.isDigit) && name.drop(5).toLong > cur)
-        deleteRecursive(p)
+      val orphan =
+        name.startsWith("current.tmp.") ||
+          (name.startsWith("snap-") && name.drop(5).forall(_.isDigit) &&
+            name.drop(5).toLong > cur)
+      if (orphan && stale(p)) deleteRecursive(p)
     }
+  }
+
+  /** Directory listing with the stream CLOSED (Files.list leaks a
+    * directory fd until GC otherwise — and commits run per micro-batch
+    * under streaming ingestion). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+    finally s.close()
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try Files.delete(f) catch { case _: Throwable => () })
+      val s = Files.walk(p)
+      val all =
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+        finally s.close()
+      all.reverse.foreach(f => try Files.delete(f) catch { case _: Throwable => () })
     }
 
   /** Plan a read from the current snapshot; `box` prunes manifest entries
@@ -299,17 +325,18 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
       case _ => df
     }
-    // merge-on-read equality deletes: broadcast anti-join on the delete
-    // files' OWN columns (the equality key is whatever deleteWhere wrote —
-    // schema-derived, never hardcoded), so tables of any shape read back
-    // correctly. Deltas are small between compactions; compact() folds
-    // them in and purges the tombstones, bounding this side.
-    val live =
-      if (deletes.isEmpty) zPruned
-      else {
-        val delDf = spark.read.parquet(deletes.map(_.path): _*)
-        zPruned.join(broadcast(delDf), delDf.columns.toSeq, "left_anti")
-      }
+    // merge-on-read equality deletes: one broadcast anti-join PER delete
+    // file, each on that file's OWN columns — deleteWhere's key set is
+    // schema-derived and may differ between tombstones (an old-format
+    // (id, lat, lon) file next to a full-key one); a combined read would
+    // silently resolve to one footer's schema and either resurrect rows
+    // (missing key cols read NULL, never match) or over-delete (narrowed
+    // key). Deltas are small between compactions; compact() folds them in
+    // and purges the tombstones, bounding the chain length.
+    val live = deletes.foldLeft(zPruned) { (acc, e) =>
+      val delDf = spark.read.parquet(e.path)
+      acc.join(broadcast(delDf), delDf.columns.toSeq, "left_anti")
+    }
     (live.drop("__z"), kept.size, entries.size)
   }
 
@@ -362,10 +389,6 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val lineage = s"compact-${currentSnapshotId + 1}"
-    // refresh the write-time histograms: deletes are folded in now, so the
-    // upper-bound hint tightens back to exact counts
-    deleteRecursive(histDir)
-    writeHist(unitDir, lineage)
     val stats = footerStats(unitDir, lineage, wallMs, withZ = true)
     // replacing commit: new manifest = compacted entries + ORIGINAL
     // lineage ids as zero-file markers so resumableRun still skips them
@@ -373,7 +396,17 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       FileEntry(path = "", rows = 0L, minZ = 0L, maxZ = 0L,
         minLat = 0.0, maxLat = 0.0, minLon = 0.0, maxLon = 0.0,
         lineageId = l, wallMs = 0L))
-    commit(stats ++ lineageMarkers, replaceParent = true)
+    val next = commit(stats ++ lineageMarkers, replaceParent = true)
+    // refresh the write-time histograms only AFTER the commit is durable,
+    // write-then-delete, so EVERY crash window leaves hotCells an upper
+    // bound of the live snapshot: before the swap, the old unit hists
+    // overcount the compacted table (deletes not yet folded); mid-swap,
+    // old + new coexist (≈2× superset); after, exact. A pre-commit swap
+    // would leave the still-live pre-compact snapshot UNDERCOUNTED if the
+    // commit never lands — the one unsafe direction.
+    val freshHist = writeHist(unitDir, lineage)
+    listDir(histDir).filterNot(_ == freshHist).foreach(deleteRecursive)
+    next
   }
 
   /** Resumable multi-unit job: process only units not yet committed.

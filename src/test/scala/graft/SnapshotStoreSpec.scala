@@ -202,7 +202,15 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val orphan = java.nio.file.Paths.get(root, "meta", "snap-2")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("junk.parquet"), "not a manifest")
-    Files.writeString(java.nio.file.Paths.get(root, "meta", "current.tmp.2"), "2")
+    val staleTmp = java.nio.file.Paths.get(root, "meta", "current.tmp.2")
+    Files.writeString(staleTmp, "2")
+    // crash debris is old by the time the next commit runs; FRESH snap
+    // dirs are deliberately spared (they may belong to a concurrent
+    // committer racing toward the pointer swing)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10 * 60 * 1000)
+    Seq(orphan, orphan.resolve("junk.parquet"), staleTmp)
+      .foreach(p => Files.setLastModifiedTime(p, old))
     // old behavior: SaveMode.ErrorIfExists on snap-2 fails every future
     // commit forever; the sweep must recover
     val snap = st.append(pts.limit(50), "u-1", numPartitions = 2)
@@ -280,8 +288,8 @@ class SnapshotStoreSpec extends AnyFunSuite {
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(x => (x.getInt(0), x.getLong(1))).sortBy(t => t).toSeq
     val boxes = graft.data.Fixtures.boxes
-    assert(norm(SpatialOps.boxJoinSalted(tbl, boxes, rOverride = r,
-        hotCells = Some(st.hotCells(r)))) ==
+    assert(norm(SpatialOps.boxJoinSalted(tbl, boxes,
+        hotCells = Some((r, st.hotCells(r))))) ==
       norm(SpatialOps.boxJoin(tbl, boxes, r)))
     // deletes keep the hint an upper bound; compaction tightens it exact
     st.deleteWhere(col("id") % 2 === 0, "del-0")

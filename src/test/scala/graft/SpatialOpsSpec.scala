@@ -197,11 +197,18 @@ class SpatialOpsSpec extends AnyFunSuite {
     val hot = SpatialOps.hotCellsFromHistogram(hist, hotThreshold = 0.01)
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(t => t).toSeq
-    assert(norm(SpatialOps.boxJoinSalted(pts, Fixtures.boxes, hotCells = Some(hot))) ==
-           norm(SpatialOps.boxJoin(pts, Fixtures.boxes)))
+    assert(norm(SpatialOps.boxJoinSalted(pts, Fixtures.boxes,
+             hotCells = Some((Fixtures.JoinRes, hot)))) ==
+           norm(SpatialOps.boxJoin(pts, Fixtures.boxes, Fixtures.JoinRes)))
     // empty hot set (uniform data) degenerates to the plain join
-    assert(norm(SpatialOps.boxJoinSalted(pts, Fixtures.boxes, hotCells = Some(Set.empty))) ==
+    assert(norm(SpatialOps.boxJoinSalted(pts, Fixtures.boxes,
+             hotCells = Some((Fixtures.JoinRes, Set.empty[Long])))) ==
            norm(SpatialOps.boxJoin(pts, Fixtures.boxes)))
+    // a hint keyed at a different resolution than an explicit pin is refused
+    intercept[IllegalArgumentException] {
+      SpatialOps.boxJoinSalted(pts, Fixtures.boxes, rOverride = 4,
+        hotCells = Some((Fixtures.JoinRes, hot)))
+    }
   }
 
   test("adaptive resolution IS the default: auto r refines with scale, coarsens on budget") {

@@ -47,17 +47,44 @@ class StreamIngestSpec extends AnyFunSuite {
     StreamIngest.run(src, store, ckpt, numPartitions = 2)
   }
 
+  /** The checkpoint-scoped token StreamIngest embeds in lineage ids. */
+  private def token(ckpt: String): String =
+    Files.readString(Paths.get(ckpt, "graft-stream-id")).trim
+
   test("micro-batch ingestion == one-shot batch append") {
     val srcDir = tmp()
     (0 until 3).foreach(writeChunk(srcDir, _))
     val store = new SnapshotStore(spark, tmp())
-    val q = stream(srcDir, store, tmp())
+    val ckpt = tmp()
+    val q = stream(srcDir, store, ckpt)
     try q.processAllAvailable() finally q.stop()
+    val t = token(ckpt)
     assert(store.committedLineage ==
-      Set("stream-batch-0", "stream-batch-1", "stream-batch-2"))
+      (0 until 3).map(i => s"stream-batch-$t-$i").toSet)
     assert(norm(store.read()._1) == norm(pts))
     // per-batch lineage carries metrics like any batch unit
     assert(store.manifest().forall(_.wallMs >= 0))
+  }
+
+  test("fresh checkpoint over an existing store never collides with old lineage") {
+    // an operator who loses the checkpoint and restarts from scratch gets
+    // recycled batchIds (0, 1, ...); the checkpoint-scoped token keeps the
+    // new units distinct from the old ones, so nothing is silently skipped
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val srcDir = tmp()
+    writeChunk(srcDir, 0)
+    val store = new SnapshotStore(spark, tmp())
+    val q1 = stream(srcDir, store, tmp())
+    try q1.processAllAvailable() finally q1.stop()
+    assert(store.read()._1.count() == pts.filter(pmod(col("id"), lit(3)) === 0).count())
+    // new data + NEW checkpoint → batchId 0 again, different token
+    val src2 = tmp()
+    writeChunk(src2, 1)
+    val q2 = stream(src2, store, tmp())
+    try q2.processAllAvailable() finally q2.stop()
+    assert(norm(store.read()._1) ==
+      norm(pts.filter(pmod(col("id"), lit(3)) === 0)
+        .union(pts.filter(pmod(col("id"), lit(3)) === 1))))
   }
 
   test("crash mid-stream + re-delivered batch: resume converges, no duplicates") {
@@ -68,19 +95,21 @@ class StreamIngestSpec extends AnyFunSuite {
     // leg 1: two batches commit, then the driver "crashes" (query stopped)
     val q1 = stream(srcDir, store, ckpt)
     try q1.processAllAvailable() finally q1.stop()
-    assert(store.committedLineage == Set("stream-batch-0", "stream-batch-1"))
+    val t = token(ckpt)
+    assert(store.committedLineage ==
+      Set(s"stream-batch-$t-0", s"stream-batch-$t-1"))
     // chunk 2 arrives; simulate the worst crash point: batch 2's append
     // COMMITTED but the checkpoint offset did not — on restart, Structured
     // Streaming re-delivers batch 2 and the lineage check must skip it
     writeChunk(srcDir, 2)
     import org.apache.spark.sql.functions._
-    store.append(pts.filter(pmod(col("id"), lit(3)) === 2), "stream-batch-2",
-      numPartitions = 2)
+    store.append(pts.filter(pmod(col("id"), lit(3)) === 2),
+      s"stream-batch-$t-2", numPartitions = 2)
     val q2 = stream(srcDir, store, ckpt)
     try q2.processAllAvailable() finally q2.stop()
     // converged to the uninterrupted run: all rows exactly once
     assert(store.committedLineage ==
-      Set("stream-batch-0", "stream-batch-1", "stream-batch-2"))
+      (0 until 3).map(i => s"stream-batch-$t-$i").toSet)
     assert(norm(store.read()._1) == norm(pts))
   }
 }
