@@ -409,6 +409,31 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     next
   }
 
+  /** Remove data directories no snapshot references — debris from appends
+    * that crashed after writing their unit but before committing it (the
+    * UUID-suffixed dir is unreachable: reads only ever plan from manifest
+    * paths). Iceberg's remove-orphan-files analog. The reference set spans
+    * ALL snapshots, not just the current one, so time-travel reads of
+    * pre-compaction manifests stay valid; age-gating keeps an in-flight
+    * append's freshly written unit safe. Returns the dirs removed. */
+  def vacuum(olderThanMs: Long = 3600000L): Seq[String] = {
+    // manifest paths are Hadoop URIs (file:/tmp/...); the filesystem walk
+    // yields plain paths — normalize before comparing or EVERYTHING looks
+    // unreferenced and vacuum destroys live data
+    val referenced = (1L to currentSnapshotId).flatMap(manifest(_))
+      .filter(_.path.nonEmpty)
+      .map(e => Paths.get(e.path.stripPrefix("file:")).getParent.toString)
+      .toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    listDir(Paths.get(root, "data"))
+      .filter { d =>
+        !referenced.contains(d.toString) &&
+          (try Files.getLastModifiedTime(d).toMillis < cutoff
+           catch { case _: Throwable => false })
+      }
+      .map { d => deleteRecursive(d); d.toString }
+  }
+
   /** Resumable multi-unit job: process only units not yet committed.
     * Returns the unit ids actually processed this run. A crash between
     * units loses nothing — completed units are durable in the snapshot

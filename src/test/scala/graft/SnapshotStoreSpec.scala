@@ -300,6 +300,39 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.hotCells(r, 0.05) == liveAfter)
   }
 
+  test("vacuum removes only unreferenced data dirs; time travel survives") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts.limit(100), "u-0", numPartitions = 2)
+    st.append(pts.limit(50), "u-1", numPartitions = 2)
+    st.compact(numPartitions = 2) // pre-compact files now referenced only by old snaps
+    // simulate an append that crashed before its commit: a written,
+    // never-referenced unit dir (old enough to clear the age gate)
+    val debris = java.nio.file.Paths.get(root, "data", "crashed-deadbeef")
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("part-0.parquet"), "junk")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000)
+    Seq(debris.resolve("part-0.parquet"), debris)
+      .foreach(p => Files.setLastModifiedTime(p, old))
+    // also backdate the LIVE dirs — vacuum must keep them because they
+    // are referenced, not because they are fresh
+    def backdateAll(): Unit = {
+      val s = Files.walk(java.nio.file.Paths.get(root, "data"))
+      val all = try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq } finally s.close()
+      all.foreach(p => Files.setLastModifiedTime(p, old))
+    }
+    backdateAll()
+    val removed = st.vacuum(olderThanMs = 60000)
+    assert(removed == Seq(debris.toString))
+    assert(st.read()._1.count() == 150)
+    // pre-compaction snapshots still readable (their files were kept)
+    val preCompact = st.manifest(2).filter(_.path.nonEmpty).map(_.path)
+    assert(preCompact.nonEmpty)
+    assert(spark.read.parquet(preCompact: _*).count() == 150)
+  }
+
   test("image table through the store: payload intact after cluster+commit") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
