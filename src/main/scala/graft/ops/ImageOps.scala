@@ -126,17 +126,22 @@ object ImageOps {
     * DuckDB-oracle-checked (q46). */
   def curate(images: DataFrame, minTokens: Int, maxHamming: Int,
              perTile: Int, r: Int,
-             stagePath: Option[String] = None): DataFrame = {
+             stagePath: Option[String] = None, blocks: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val meta0 = images.select(col("image_id"), col("caption"), col("phash"))
+    // the metadata slice is consumed by the blocking self-join, the
+    // anti-join, AND the window — without a barrier the (possibly decode-
+    // heavy) upstream recomputes ~3x (the documented CollapseProject
+    // pitfall); the staged path's parquet write is the same barrier
     val meta = stagePath match {
       case Some(p) =>
         meta0.write.mode("overwrite").parquet(p)
         images.sparkSession.read.parquet(p)
-      case None => meta0
+      case None =>
+        meta0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val q = meta.filter(size(split(col("caption"), " ")) >= minTokens)
-    val dups = Dedup.hammingBlockPairs(q, "image_id", "phash", maxHamming)
+    val dups = Dedup.hammingBlockPairs(q, "image_id", "phash", maxHamming, blocks)
       .select(col("b_id").as("image_id")).distinct()
     // near-dups are a sliver of the corpus by construction: the anti-join
     // shuffles both sides on image_id, no broadcast assumption needed
@@ -146,9 +151,10 @@ object ImageOps {
       .withColumn("lon", graft.geo.GeoCols.geoFromPhashLon(col("phash")))
       .withColumn("cell", graft.geo.GeoCols.cellCol(col("lat"), col("lon"), r))
     val w = Window.partitionBy(col("cell")).orderBy(col("image_id"))
-    pts.withColumn("rn", row_number().over(w))
+    val out = pts.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perTile)
       .select(col("image_id"), col("cell"))
+    if (stagePath.isDefined) out else OpUtil.finish(out, meta)
   }
 
   /** Deterministic near-duplicate plant: every `everyN`-th image decoded,

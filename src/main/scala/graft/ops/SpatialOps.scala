@@ -48,10 +48,14 @@ object SpatialOps {
     // the covering budget alone then picks the resolution
     if (df.isStreaming) return Long.MaxValue
     val width = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    df.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong)
-      .getOrElse((bytes / width).toLong)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // Catalyst stats are BigInt and exceed Long.MaxValue for join plans of
+    // stat-less relations; a raw .toLong WRAPS, clamping the estimate to 1
+    // and giving the COARSEST grid to exactly the largest inputs — cap
+    // instead of truncating
+    def capped(b: BigInt): Long = b.min(BigInt(Long.MaxValue)).toLong
+    stats.rowCount.map(capped)
+      .getOrElse(capped(stats.sizeInBytes / width))
       .max(1L)
   }
 

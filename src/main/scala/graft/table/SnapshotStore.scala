@@ -223,10 +223,22 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * crash between manifest write and pointer swing, or from an aborted
     * commit. Such orphans are swept before writing and on the tripwire
     * path, so one failed commit can never wedge the table permanently. */
+  /** `expectedParent`: the snapshot the caller PLANNED against (compaction
+    * reads the table, rewrites it, then commits — possibly seconds later).
+    * If the table advanced past it, this commit would silently drop the
+    * interleaved units from a replacing manifest while their lineage ids
+    * stay marked committed (permanent, re-delivery-proof data loss under
+    * streaming ingestion) — so it fails loudly instead. */
   private def commit(newEntries: Seq[FileEntry],
-                     replaceParent: Boolean = false): Long = {
+                     replaceParent: Boolean = false,
+                     expectedParent: Long = -1L): Long = {
     import spark.implicits._
-    val parent = currentSnapshotId
+    val parent = if (expectedParent >= 0) expectedParent else currentSnapshotId
+    def assertUnmoved(): Unit =
+      if (currentSnapshotId != parent)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot advanced past $parent during commit — retry from the new manifest")
+    assertUnmoved()
     val next = parent + 1
     val all = if (replaceParent) newEntries else manifest(parent) ++ newEntries
     sweepOrphans()
@@ -237,6 +249,14 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // this CAS into the catalog; the seam is identical)
     spark.createDataset(all).coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
+    // commit-identity marker: if a stalled writer's snap dir is swept and
+    // replaced by a racer (both >orphanAgeMs old), the marker distinguishes
+    // OUR manifest from theirs right before the pointer swing — the pointer
+    // must never be swung onto entries this commit did not write
+    // (underscore prefix: parquet readers ignore it)
+    val marker = metaDir.resolve(s"snap-$next")
+      .resolve(s"_commit-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(marker, "")
     if (currentSnapshotId != parent) {
       // undo our own (still unreferenced) manifest before failing so the
       // next committer's ErrorIfExists write is not blocked forever
@@ -245,6 +265,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       throw new java.util.ConcurrentModificationException(
         s"snapshot advanced past $parent during commit — retry from the new manifest")
     }
+    if (!Files.exists(marker))
+      throw new java.util.ConcurrentModificationException(
+        s"snap-$next was replaced by another writer during this commit")
     val tmp = metaDir.resolve(s"current.tmp.$next")
     Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
@@ -270,10 +293,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       catch { case _: Throwable => false }
     listDir(metaDir).foreach { p =>
       val name = p.getFileName.toString
+      val digits = name.drop(5)
       val orphan =
         name.startsWith("current.tmp.") ||
-          (name.startsWith("snap-") && name.drop(5).forall(_.isDigit) &&
-            name.drop(5).toLong > cur)
+          (name.startsWith("snap-") && digits.nonEmpty &&
+            digits.length <= 18 && digits.forall(_.isDigit) &&
+            digits.toLong > cur) // guarded parse: debris like "snap-" or an
+                                 // overlong id must not wedge every commit
       if (orphan && stale(p)) deleteRecursive(p)
     }
   }
@@ -309,35 +335,53 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // resumableRun still recognizes pre-compaction units as committed)
     val all = manifest().filter(_.path.nonEmpty)
     val entries = all.filter(_.kind == "data")
-    val deletes = all.filter(_.kind == "delete")
-    val kept = box match {
-      case None => entries
-      case Some(b) => entries.filter(e =>
-        MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b))
-    }
     require(entries.nonEmpty, "empty table: nothing committed yet")
-    val df =
-      if (kept.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
-      else spark.read.parquet(kept.map(_.path): _*)
-    val zPruned = box match {
-      case Some(b) if kept.nonEmpty =>
-        val ranges = CellId.zRangesForMbr(b, zRes, maxRanges = 64)
-        df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
-      case _ => df
+    // SEQUENCE-SCOPED merge-on-read deletes (the Iceberg sequence-number
+    // contract, with manifest order as the sequence): a tombstone applies
+    // only to data entries committed BEFORE it, so a row legitimately
+    // re-inserted after its delete stays live. Data entries are grouped by
+    // the number of deletes preceding them; group g anti-joins only the
+    // deletes that FOLLOW it. Each anti-join is per delete FILE on that
+    // file's OWN columns — key sets may differ between tombstones (an
+    // old-format (id, lat, lon) file next to a schema-derived full-key
+    // one); a combined read would resolve to one footer's schema and
+    // either resurrect rows (missing key cols read NULL, never match) or
+    // over-delete (narrowed key). Deltas are small between compactions;
+    // compact() folds them in and purges the tombstones, bounding both
+    // the group count and the chain length.
+    val indexed = all.zipWithIndex
+    val deleteIdx = indexed.filter(_._1.kind == "delete")
+    val dataGroups = indexed.filter(_._1.kind == "data")
+      .groupBy { case (_, i) => deleteIdx.count(_._2 < i) }
+      .toSeq.sortBy(_._1)
+    var keptCount = 0
+    val groupDfs = dataGroups.flatMap { case (g, ents0) =>
+      val ents = ents0.map(_._1)
+      val kept = box match {
+        case None => ents
+        case Some(b) => ents.filter(e =>
+          MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b))
+      }
+      keptCount += kept.size
+      if (kept.isEmpty) None
+      else {
+        val df = spark.read.parquet(kept.map(_.path): _*)
+        val zPruned = box match {
+          case Some(b) =>
+            val ranges = CellId.zRangesForMbr(b, zRes, maxRanges = 64)
+            df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
+          case None => df
+        }
+        Some(deleteIdx.drop(g).foldLeft(zPruned) { case (acc, (e, _)) =>
+          val delDf = spark.read.parquet(e.path)
+          acc.join(broadcast(delDf), delDf.columns.toSeq, "left_anti")
+        })
+      }
     }
-    // merge-on-read equality deletes: one broadcast anti-join PER delete
-    // file, each on that file's OWN columns — deleteWhere's key set is
-    // schema-derived and may differ between tombstones (an old-format
-    // (id, lat, lon) file next to a full-key one); a combined read would
-    // silently resolve to one footer's schema and either resurrect rows
-    // (missing key cols read NULL, never match) or over-delete (narrowed
-    // key). Deltas are small between compactions; compact() folds them in
-    // and purges the tombstones, bounding the chain length.
-    val live = deletes.foldLeft(zPruned) { (acc, e) =>
-      val delDf = spark.read.parquet(e.path)
-      acc.join(broadcast(delDf), delDf.columns.toSeq, "left_anti")
-    }
-    (live.drop("__z"), kept.size, entries.size)
+    val live =
+      if (groupDfs.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
+      else groupDfs.reduce(_ unionByName _)
+    (live.drop("__z"), keptCount, entries.size)
   }
 
   /** Row-level delete (Iceberg-v2 equality-delete shape): materialize the
@@ -377,26 +421,47 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * (not appends). Query results are unaffected (proven in spec); file
     * counts drop and Z-ranges tighten, which is what makes manifest and
     * row-group pruning effective after many small appends. */
-  def compact(numPartitions: Int = 0): Long = {
+  def compact(numPartitions: Int = 0): Long =
+    compactHooked(numPartitions, () => ())
+
+  /** Test seam: `beforeCommit` runs between the rewrite and the commit —
+    * the window a concurrent append can land in. Production uses the
+    * no-op; the race spec injects an append here to prove the replacing
+    * commit fails loudly instead of silently dropping the racer's unit. */
+  private[graft] def compactHooked(numPartitions: Int,
+                                   beforeCommit: () => Unit): Long = {
     val t0 = System.nanoTime()
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
+    // pin the snapshot this compaction PLANS against: the replacing commit
+    // below passes it as expectedParent, so a unit committed while the
+    // rewrite runs (streaming ingestion!) fails the compaction loudly
+    // instead of being silently dropped from the replacing manifest while
+    // its lineage id stays marked committed
+    val base = currentSnapshotId
     val (df, _, _) = read()
-    val unitDir = s"$root/data/compact-${currentSnapshotId + 1}"
+    // UUID-suffixed like append's units: a compaction that crashes before
+    // its commit must not wedge every retry on ErrorIfExists
+    val unitDir = s"$root/data/compact-${base + 1}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val lineage = s"compact-${currentSnapshotId + 1}"
+    val lineage = s"compact-${base + 1}"
     val stats = footerStats(unitDir, lineage, wallMs, withZ = true)
-    // replacing commit: new manifest = compacted entries + ORIGINAL
-    // lineage ids as zero-file markers so resumableRun still skips them
-    val lineageMarkers = committedLineage.toSeq.sorted.map(l =>
+    // replacing commit: new manifest = compacted entries + the BASE
+    // manifest's lineage ids as zero-file markers so resumableRun still
+    // skips them (read from `base`, not the live pointer — a racer's
+    // lineage must fail the commit, not get absorbed as an empty marker)
+    val lineageMarkers = manifest(base).map(_.lineageId).toSet.toSeq.sorted.map(l =>
       FileEntry(path = "", rows = 0L, minZ = 0L, maxZ = 0L,
         minLat = 0.0, maxLat = 0.0, minLon = 0.0, maxLon = 0.0,
         lineageId = l, wallMs = 0L))
-    val next = commit(stats ++ lineageMarkers, replaceParent = true)
+    beforeCommit()
+    val next = commit(stats ++ lineageMarkers, replaceParent = true,
+      expectedParent = base)
     // refresh the write-time histograms only AFTER the commit is durable,
     // write-then-delete, so EVERY crash window leaves hotCells an upper
     // bound of the live snapshot: before the swap, the old unit hists

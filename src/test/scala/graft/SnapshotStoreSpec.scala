@@ -300,6 +300,47 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.hotCells(r, 0.05) == liveAfter)
   }
 
+  test("re-insert after equality delete stays live (sequence-scoped tombstones)") {
+    import spark.implicits._
+    val st = new SnapshotStore(spark, tmp())
+    val r = Seq((1L, 10.0, 20.0), (2L, -5.0, 30.0))
+    st.append(r.toDF("id", "lat", "lon"), "u-0", numPartitions = 1)
+    st.deleteWhere(col("id") === 1L, "del-0")
+    assert(st.read()._1.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // legitimate re-insert of the SAME row after its delete: the tombstone
+    // was committed earlier, so it must not reach forward in time
+    st.append(Seq((1L, 10.0, 20.0)).toDF("id", "lat", "lon"), "u-1",
+      numPartitions = 1)
+    def ids = st.read()._1.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"re-inserted row lost: $ids")
+    // a SECOND delete after the re-insert applies to everything before it
+    st.deleteWhere(col("id") === 1L, "del-1")
+    assert(ids == Seq(2L))
+    // and compaction preserves exactly the sequence-scoped result
+    st.compact(numPartitions = 1)
+    assert(ids == Seq(2L))
+    assert(!st.manifest().exists(_.kind == "delete"))
+  }
+
+  test("compaction fails loudly when a unit commits mid-rewrite; nothing is lost") {
+    val st = new SnapshotStore(spark, tmp())
+    st.append(pts.limit(100), "u-0", numPartitions = 2)
+    // the racer: a streaming micro-batch landing between compact's rewrite
+    // and its replacing commit — silently absorbing it would drop its rows
+    // while marking its lineage committed (re-delivery would skip it)
+    val thrown = intercept[java.util.ConcurrentModificationException] {
+      st.compactHooked(2, () => { st.append(pts.limit(40), "racer", 1); () })
+    }
+    assert(thrown.getMessage.contains("advanced"))
+    // both units intact, racer's lineage present exactly once
+    assert(st.read()._1.count() == 140)
+    assert(st.committedLineage == Set("u-0", "racer"))
+    // the failed compaction left no half-committed state: retry succeeds
+    st.compact(numPartitions = 2)
+    assert(st.read()._1.count() == 140)
+    assert(st.committedLineage.contains("racer"))
+  }
+
   test("vacuum removes only unreferenced data dirs; time travel survives") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
