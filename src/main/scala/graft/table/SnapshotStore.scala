@@ -11,9 +11,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   * MBRs, IndexFile.java:37-95, at file granularity).
   *
   * `kind` is "data" for data files, "delete" for equality-delete
-  * tombstone files (Iceberg-v2-shaped: a parquet of (id, lat, lon) rows
-  * whose exact matches are dead in every data file of this and later
-  * snapshots until a compaction purges them). */
+  * tombstone files (Iceberg-v2-shaped: a parquet of key rows whose exact
+  * matches are dead in every data file committed BEFORE the tombstone —
+  * sequence-scoped, so later re-inserts stay live — until a compaction
+  * folds the deletes in and purges them). */
 final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
                            minLat: Double, maxLat: Double,
                            minLon: Double, maxLon: Double,
@@ -222,8 +223,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * is UNREFERENCED (the pointer never reached it) — a leftover from a
     * crash between manifest write and pointer swing, or from an aborted
     * commit. Such orphans are swept before writing and on the tripwire
-    * path, so one failed commit can never wedge the table permanently. */
-  /** `expectedParent`: the snapshot the caller PLANNED against (compaction
+    * path, so one failed commit can never wedge the table permanently.
+    *
+    * `expectedParent`: the snapshot the caller PLANNED against (compaction
     * reads the table, rewrites it, then commits — possibly seconds later).
     * If the table advanced past it, this commit would silently drop the
     * interleaved units from a replacing manifest while their lineage ids
