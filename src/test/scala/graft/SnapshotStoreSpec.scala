@@ -316,9 +316,16 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // a SECOND delete after the re-insert applies to everything before it
     st.deleteWhere(col("id") === 1L, "del-1")
     assert(ids == Seq(2L))
+    // box reads apply the same sequence scoping through the pruned path
+    st.append(Seq((1L, 10.0, 20.0)).toDF("id", "lat", "lon"), "u-2",
+      numPartitions = 1)
+    val boxed = st.read(Some(MBR(0.0, 0.0, 20.0, 40.0)))._1
+      .filter(col("lat").between(0.0, 20.0) && col("lon").between(0.0, 40.0))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(boxed == Seq(1L), s"boxed read broke sequencing: $boxed")
     // and compaction preserves exactly the sequence-scoped result
     st.compact(numPartitions = 1)
-    assert(ids == Seq(2L))
+    assert(ids == Seq(1L, 2L))
     assert(!st.manifest().exists(_.kind == "delete"))
   }
 
