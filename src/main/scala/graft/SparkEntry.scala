@@ -251,8 +251,8 @@ object SparkEntry {
     * verify, two sessions) never clobber each other's staged tables
     * mid-oracle-read; the `graft_q` prefix keeps them under the same
     * 2-hour TTL sweep as the temp stores. */
-  private val stageRoot =
-    s"/tmp/graft_qstage_${ProcessHandle.current().pid()}"
+  private val stageRoot = // same tmpdir the TTL sweep scans — never /tmp literal
+    s"${System.getProperty("java.io.tmpdir")}/graft_qstage_${ProcessHandle.current().pid()}"
   val Q25StagePath = s"$stageRoot/q25_sig"
   val Q26bStagePath = s"$stageRoot/q26b_sig"
   val Q28cStagePath = s"$stageRoot/q28c_sig"

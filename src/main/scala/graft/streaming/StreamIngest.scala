@@ -33,17 +33,28 @@ object StreamIngest {
     * collide with an OLD committed unit and silently drop new data. The
     * token ties lineage ids to the offsets they are idempotent against. */
   private def streamToken(checkpoint: String): String = {
-    val dir = java.nio.file.Paths.get(checkpoint)
-    java.nio.file.Files.createDirectories(dir)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(checkpoint)
+    Files.createDirectories(dir)
     val f = dir.resolve("graft-stream-id")
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim
-    else {
+    if (!Files.exists(f)) {
+      // write-temp + ATOMIC_MOVE: a crash mid-write must never leave an
+      // EMPTY token behind (an empty token would make every future stream
+      // share the id "" and resurrect the lineage-collision bug); a
+      // concurrent starter losing the move just reads the winner's token
       val id = java.util.UUID.randomUUID().toString.take(8)
-      java.nio.file.Files.writeString(f, id,
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      id
+      val tmp = dir.resolve(s"graft-stream-id.tmp.$id")
+      Files.writeString(tmp, id)
+      try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+      }
     }
+    val t = Files.readString(f).trim
+    require(t.nonEmpty,
+      s"corrupt stream id at $f — delete the file to issue a fresh one")
+    t
   }
 
   def run(src: DataFrame, store: SnapshotStore, checkpoint: String,

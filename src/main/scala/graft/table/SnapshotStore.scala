@@ -14,12 +14,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   * tombstone files (Iceberg-v2-shaped: a parquet of key rows whose exact
   * matches are dead in every data file committed BEFORE the tombstone —
   * sequence-scoped, so later re-inserts stay live — until a compaction
-  * folds the deletes in and purges them). */
+  * folds the deletes in and purges them).
+  *
+  * `seq` is the Iceberg-style sequence number: the snapshot id of the
+  * commit that introduced the entry, PERSISTED so delete scoping never
+  * depends on the physical row order of the manifest parquet (manifests
+  * written before the field get their row index as the sequence — the
+  * exact ordering semantics they were written under). */
 final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
                            minLat: Double, maxLat: Double,
                            minLon: Double, maxLon: Double,
                            lineageId: String, wallMs: Long,
-                           kind: String = "data")
+                           kind: String = "data", seq: Long = 0L)
 
 /** Minimal Iceberg-shaped table format (SURVEY.md §7.4). Real Iceberg jars
   * aren't in this environment, so the same semantics are implemented
@@ -126,10 +132,16 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     if (snapshotId == 0) Seq.empty
     else {
       val raw = spark.read.parquet(s"$root/meta/snap-$snapshotId")
-      val patched =
-        if (raw.columns.contains("kind")) raw
-        else raw.withColumn("kind", lit("data"))
-      patched.as[FileEntry].collect().toSeq
+      val hasSeq = raw.columns.contains("seq")
+      var patched = raw
+      if (!patched.columns.contains("kind"))
+        patched = patched.withColumn("kind", lit("data"))
+      if (!hasSeq) patched = patched.withColumn("seq", lit(0L))
+      val rows = patched.as[FileEntry].collect().toSeq
+      // pre-seq manifests: row order WAS the sequence (single coalesced
+      // file) — materialize it so scoping semantics carry over unchanged
+      if (hasSeq) rows
+      else rows.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
     }
   }
 
@@ -242,7 +254,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
           s"snapshot advanced past $parent during commit — retry from the new manifest")
     assertUnmoved()
     val next = parent + 1
-    val all = if (replaceParent) newEntries else manifest(parent) ++ newEntries
+    // sequence number = the committing snapshot id (Iceberg semantics);
+    // parent entries keep the seq of the commit that introduced them
+    val stamped = newEntries.map(_.copy(seq = next))
+    val all = if (replaceParent) stamped else manifest(parent) ++ stamped
     sweepOrphans()
     // snap-N+1 (ErrorIfExists) and current.tmp.N+1 (CREATE_NEW) are the
     // optimistic-concurrency tripwires: a concurrent committer that won
@@ -251,14 +266,6 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // this CAS into the catalog; the seam is identical)
     spark.createDataset(all).coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
-    // commit-identity marker: if a stalled writer's snap dir is swept and
-    // replaced by a racer (both >orphanAgeMs old), the marker distinguishes
-    // OUR manifest from theirs right before the pointer swing — the pointer
-    // must never be swung onto entries this commit did not write
-    // (underscore prefix: parquet readers ignore it)
-    val marker = metaDir.resolve(s"snap-$next")
-      .resolve(s"_commit-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(marker, "")
     if (currentSnapshotId != parent) {
       // undo our own (still unreferenced) manifest before failing so the
       // next committer's ErrorIfExists write is not blocked forever
@@ -267,9 +274,15 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       throw new java.util.ConcurrentModificationException(
         s"snapshot advanced past $parent during commit — retry from the new manifest")
     }
-    if (!Files.exists(marker))
+    // read-back verification: the manifest the pointer is about to
+    // reference must contain exactly the entries THIS commit wrote. A
+    // stalled writer whose stale snap dir was swept and recreated by a
+    // racer would otherwise swing the pointer onto the racer's manifest
+    // and silently lose its own entries while reporting success.
+    val written = manifest(next).map(e => (e.lineageId, e.path, e.rows, e.seq))
+    if (written.sorted != all.map(e => (e.lineageId, e.path, e.rows, e.seq)).sorted)
       throw new java.util.ConcurrentModificationException(
-        s"snap-$next was replaced by another writer during this commit")
+        s"snap-$next does not contain this commit's entries — replaced by another writer")
     val tmp = metaDir.resolve(s"current.tmp.$next")
     Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
@@ -339,26 +352,25 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val entries = all.filter(_.kind == "data")
     require(entries.nonEmpty, "empty table: nothing committed yet")
     // SEQUENCE-SCOPED merge-on-read deletes (the Iceberg sequence-number
-    // contract, with manifest order as the sequence): a tombstone applies
-    // only to data entries committed BEFORE it, so a row legitimately
-    // re-inserted after its delete stays live. Data entries are grouped by
-    // the number of deletes preceding them; group g anti-joins only the
-    // deletes that FOLLOW it. Each anti-join is per delete FILE on that
-    // file's OWN columns — key sets may differ between tombstones (an
-    // old-format (id, lat, lon) file next to a schema-derived full-key
-    // one); a combined read would resolve to one footer's schema and
-    // either resurrect rows (missing key cols read NULL, never match) or
-    // over-delete (narrowed key). Deltas are small between compactions;
-    // compact() folds them in and purges the tombstones, bounding both
-    // the group count and the chain length.
-    val indexed = all.zipWithIndex
-    val deleteIdx = indexed.filter(_._1.kind == "delete")
-    val dataGroups = indexed.filter(_._1.kind == "data")
-      .groupBy { case (_, i) => deleteIdx.count(_._2 < i) }
-      .toSeq.sortBy(_._1)
+    // contract, via the PERSISTED per-entry seq): a tombstone applies only
+    // to data entries with a smaller sequence number, so a row
+    // legitimately re-inserted after its delete stays live. Data entries
+    // are grouped by how many deletes precede them (group g's applicable
+    // deletes are the sequence-suffix dels[g..D)), and the plan is built
+    // by SUFFIX FOLDING — A_k = antiJoin(A_(k-1), del_(k-1)) ∪ group_k —
+    // so every delete FILE appears exactly once however many groups there
+    // are (a per-group fold would grow O(groups × deletes) between
+    // compactions). Each anti-join is per delete file on that file's OWN
+    // columns — key sets may differ between tombstones (an old-format
+    // (id, lat, lon) file next to a schema-derived full-key one); a
+    // combined read would resolve to one footer's schema and either
+    // resurrect rows (missing key cols read NULL, never match) or
+    // over-delete (narrowed key). compact() folds deletes in and purges
+    // the tombstones, bounding the chain length.
+    val dels = all.filter(_.kind == "delete").sortBy(e => (e.seq, e.path))
     var keptCount = 0
-    val groupDfs = dataGroups.flatMap { case (g, ents0) =>
-      val ents = ents0.map(_._1)
+    def groupDf(g: Int): Option[DataFrame] = {
+      val ents = entries.filter(e => dels.count(_.seq <= e.seq) == g)
       val kept = box match {
         case None => ents
         case Some(b) => ents.filter(e =>
@@ -368,21 +380,27 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       if (kept.isEmpty) None
       else {
         val df = spark.read.parquet(kept.map(_.path): _*)
-        val zPruned = box match {
+        Some(box match {
           case Some(b) =>
             val ranges = CellId.zRangesForMbr(b, zRes, maxRanges = 64)
             df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
           case None => df
-        }
-        Some(deleteIdx.drop(g).foldLeft(zPruned) { case (acc, (e, _)) =>
-          val delDf = spark.read.parquet(e.path)
-          acc.join(broadcast(delDf), delDf.columns.toSeq, "left_anti")
         })
       }
     }
-    val live =
-      if (groupDfs.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
-      else groupDfs.reduce(_ unionByName _)
+    var acc: Option[DataFrame] = groupDf(0)
+    for (k <- 1 to dels.size) {
+      val cut = acc.map { a =>
+        val delDf = spark.read.parquet(dels(k - 1).path)
+        a.join(broadcast(delDf), delDf.columns.toSeq, "left_anti")
+      }
+      acc = (cut, groupDf(k)) match {
+        case (Some(a), Some(b)) => Some(a unionByName b)
+        case (a, b) => a.orElse(b)
+      }
+    }
+    val live = acc.getOrElse(
+      spark.read.parquet(entries.map(_.path): _*).limit(0))
     (live.drop("__z"), keptCount, entries.size)
   }
 
@@ -470,9 +488,16 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // overcount the compacted table (deletes not yet folded); mid-swap,
     // old + new coexist (≈2× superset); after, exact. A pre-commit swap
     // would leave the still-live pre-compact snapshot UNDERCOUNTED if the
-    // commit never lands — the one unsafe direction.
+    // commit never lands — the one unsafe direction. Only histograms of
+    // lineage FOLDED INTO this compaction are removed: a concurrent
+    // append's freshly written histogram (its unit is not in `base`) must
+    // survive or its hot cells vanish from the hint.
+    val folded = lineageMarkers.map(_.lineageId).toSet + lineage
     val freshHist = writeHist(unitDir, lineage)
-    listDir(histDir).filterNot(_ == freshHist).foreach(deleteRecursive)
+    listDir(histDir).filterNot(_ == freshHist).foreach { d =>
+      val lin = d.getFileName.toString.dropRight(9) // strip "-<uuid8>"
+      if (folded.contains(lin)) deleteRecursive(d)
+    }
     next
   }
 
@@ -485,16 +510,26 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * append's freshly written unit safe. Returns the dirs removed. */
   def vacuum(olderThanMs: Long = 3600000L): Seq[String] = {
     // manifest paths are Hadoop URIs (file:/tmp/...); the filesystem walk
-    // yields plain paths — normalize before comparing or EVERYTHING looks
-    // unreferenced and vacuum destroys live data
+    // yields plain (possibly relative/symlinked) paths — canonicalize BOTH
+    // sides before comparing or everything looks unreferenced and vacuum
+    // destroys live data
+    def canon(p: java.nio.file.Path): String =
+      try p.toRealPath().toString
+      catch { case _: Throwable => p.toAbsolutePath.normalize.toString }
     val referenced = (1L to currentSnapshotId).flatMap(manifest(_))
       .filter(_.path.nonEmpty)
-      .map(e => Paths.get(e.path.stripPrefix("file:")).getParent.toString)
+      .map(e => canon(Paths.get(e.path.stripPrefix("file:")).getParent))
       .toSet
+    val dirs = listDir(Paths.get(root, "data"))
+    // backstop: a committed table's live dirs MUST appear in the listing;
+    // zero overlap means the path spelling diverged some other way — refuse
+    // to delete anything rather than guess
+    if (referenced.nonEmpty && !dirs.exists(d => referenced.contains(canon(d))))
+      return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
-    listDir(Paths.get(root, "data"))
+    dirs
       .filter { d =>
-        !referenced.contains(d.toString) &&
+        !referenced.contains(canon(d)) &&
           (try Files.getLastModifiedTime(d).toMillis < cutoff
            catch { case _: Throwable => false })
       }

@@ -227,7 +227,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // rewrite the current manifest WITHOUT the kind column (a snapshot
     // written by the previous format version)
     val snapDir = s"$root/meta/snap-1"
-    val legacy = spark.read.parquet(snapDir).drop("kind")
+    val legacy = spark.read.parquet(snapDir).drop("kind", "seq")
     val tmpDir = tmp()
     legacy.coalesce(1).write.mode("overwrite").parquet(s"$tmpDir/legacy")
     deleteDir(java.nio.file.Paths.get(snapDir))
