@@ -358,9 +358,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // are grouped by how many deletes precede them (group g's applicable
     // deletes are the sequence-suffix dels[g..D)), and the plan is built
     // by SUFFIX FOLDING — A_k = antiJoin(A_(k-1), del_(k-1)) ∪ group_k —
-    // so every delete FILE appears exactly once however many groups there
-    // are (a per-group fold would grow O(groups × deletes) between
-    // compactions). Each anti-join is per delete file on that file's OWN
+    // one authored anti-join per delete FILE. (Catalyst's
+    // PushdownLeftSemiOrAntiJoin may re-expand an anti-join through the
+    // union, duplicating a TOMBSTONE broadcast per group it applies to —
+    // bounded and tiny: tombstones are key slivers and compact() resets
+    // the group count; the data side is never duplicated. Pinned in
+    // PlanSpec.) Each anti-join is per delete file on that file's OWN
     // columns — key sets may differ between tombstones (an old-format
     // (id, lat, lon) file next to a schema-derived full-key one); a
     // combined read would resolve to one footer's schema and either

@@ -23,6 +23,44 @@ class PlanSpec extends AnyFunSuite {
   def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("merge-on-read plan: tombstone scans bounded by applicable groups, data never duplicated") {
+    import graft.table.SnapshotStore
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_planspec").toString)
+    val pts = Points(spark, dir)
+    // 3 appends interleaved with 2 deletes → 3 sequence groups. Catalyst
+    // pushes the anti-joins through the union, so a tombstone may be
+    // scanned once per group it APPLIES to (d-0 → group 0 only; d-1 →
+    // groups 0 and 1) — never more, and data files exactly once.
+    st.append(pts.filter(col("id") % 3 === 0), "u-0", 1)
+    st.deleteWhere(col("id") % 10 === 0, "d-0")
+    st.append(pts.filter(col("id") % 3 === 1), "u-1", 1)
+    st.deleteWhere(col("id") % 10 === 1, "d-1")
+    st.append(pts.filter(col("id") % 3 === 2), "u-2", 1)
+    val m = st.manifest()
+    val delPaths = m.filter(_.kind == "delete").sortBy(_.seq).map(_.path)
+    assert(delPaths.size == 2)
+    val lp = st.read()._1.queryExecution.optimizedPlan
+    val scannedDirs = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    def hits(p: String): Int = {
+      val parent = p.substring(0, p.lastIndexOf('/'))
+      scannedDirs.count(s => s.contains(parent) || parent.contains(s))
+    }
+    assert(hits(delPaths(0)) >= 1 && hits(delPaths(0)) <= 1,
+      s"d-0 applies to one group: ${scannedDirs}")
+    assert(hits(delPaths(1)) >= 1 && hits(delPaths(1)) <= 2,
+      s"d-1 applies to two groups: ${scannedDirs}")
+    for (dp <- m.filter(_.kind == "data").map(_.path))
+      assert(hits(dp) == 1, s"data file duplicated in plan: $scannedDirs")
+  }
+
   test("boxJoin broadcasts the box side (no shuffle on the probe side)") {
     val p = plan(SpatialOps.boxJoin(Points(spark, dir), Fixtures.boxes))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(500))
