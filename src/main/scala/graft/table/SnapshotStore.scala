@@ -345,10 +345,16 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * frame is a SUPERSET of the box's rows — callers refine exactly.
     * Returns (files read, total files) alongside the DataFrame so
     * callers/tests can observe pruning. */
-  def read(box: Option[MBR] = None): (DataFrame, Int, Int) = {
+  def read(box: Option[MBR] = None): (DataFrame, Int, Int) =
+    readAt(currentSnapshotId, box)
+
+  /** Time travel: the same planned read against ANY committed snapshot —
+    * vacuum() keeps every snapshot's files, so pre-compaction history
+    * stays queryable until snapshots are expired out-of-band. */
+  def readAt(snapshotId: Long, box: Option[MBR] = None): (DataFrame, Int, Int) = {
     // drop compaction lineage markers (zero-file entries kept only so
     // resumableRun still recognizes pre-compaction units as committed)
-    val all = manifest().filter(_.path.nonEmpty)
+    val all = manifest(snapshotId).filter(_.path.nonEmpty)
     val entries = all.filter(_.kind == "data")
     require(entries.nonEmpty, "empty table: nothing committed yet")
     // SEQUENCE-SCOPED merge-on-read deletes (the Iceberg sequence-number
@@ -502,6 +508,30 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       if (folded.contains(lin)) deleteRecursive(d)
     }
     next
+  }
+
+  /** Incremental consumption (the CDC primitive a downstream pipeline
+    * uses to process ONLY data that arrived since its last checkpointed
+    * snapshot): rows of data units with sequence number in
+    * (`sinceSnapshot`, `toSnapshot`]. Tombstones are never applied —
+    * sequence scoping means a delete cannot affect rows appended after
+    * it, and deletes inside the window only affect PRIOR data (consumers
+    * reconciling deletions read the `kind="delete"` manifest entries).
+    * Refuses windows that cross a compaction: rewritten files carry the
+    * compaction's sequence number, so the increment would replay the
+    * whole table as if new — the caller must re-baseline instead
+    * (Iceberg's incremental scan rejects replace snapshots identically). */
+  def appendedSince(sinceSnapshot: Long, toSnapshot: Long = -1L): DataFrame = {
+    val to = if (toSnapshot >= 0) toSnapshot else currentSnapshotId
+    val m = manifest(to)
+    require(!m.exists(e => e.path.nonEmpty && e.seq > sinceSnapshot &&
+        e.lineageId.startsWith("compact-")),
+      s"window ($sinceSnapshot, $to] crosses a compaction — increments are " +
+        "append-only; re-baseline from the compacted snapshot")
+    val ents = m.filter(e =>
+      e.path.nonEmpty && e.kind == "data" && e.seq > sinceSnapshot && e.seq <= to)
+    if (ents.isEmpty) readAt(to)._1.limit(0)
+    else spark.read.parquet(ents.map(_.path): _*).drop("__z")
   }
 
   /** Remove data directories no snapshot references — debris from appends

@@ -348,6 +348,35 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.committedLineage.contains("racer"))
   }
 
+  test("time travel (readAt) and incremental consumption (appendedSince)") {
+    import spark.implicits._
+    val st = new SnapshotStore(spark, tmp())
+    def unit(ids: Long*) = ids.map(i => (i, i * 1.0, i * 2.0)).toDF("id", "lat", "lon")
+    st.append(unit(1, 2), "u-0", 1)     // snap 1
+    st.append(unit(3), "u-1", 1)        // snap 2
+    st.deleteWhere(col("id") === 1L, "del-0") // snap 3
+    st.append(unit(1, 4), "u-2", 1)     // snap 4 (re-insert + new row)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // time travel: every snapshot stays queryable with its own delete scope
+    assert(ids(st.readAt(1)._1) == Seq(1L, 2L))
+    assert(ids(st.readAt(2)._1) == Seq(1L, 2L, 3L))
+    assert(ids(st.readAt(3)._1) == Seq(2L, 3L))
+    assert(ids(st.readAt(4)._1) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(st.read()._1) == ids(st.readAt(4)._1))
+    // incremental: exactly the rows appended in the window, deletes not applied
+    assert(ids(st.appendedSince(0, 2)) == Seq(1L, 2L, 3L))
+    assert(ids(st.appendedSince(2)) == Seq(1L, 4L))
+    assert(st.appendedSince(4).count() == 0)
+    // compaction breaks append-only increments: refuse, don't replay
+    st.compact(numPartitions = 1)
+    intercept[IllegalArgumentException] { st.appendedSince(2) }
+    // ...but a fresh baseline from the compacted snapshot works
+    val snapC = st.currentSnapshotId
+    st.append(unit(9), "u-3", 1)
+    assert(ids(st.appendedSince(snapC)) == Seq(9L))
+  }
+
   test("vacuum removes only unreferenced data dirs; time travel survives") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
