@@ -133,6 +133,30 @@ object SparkEntry {
     "q31_stream_window" -> ((s, dir) => EventOps.streamWindowAgg(s, dir)),
     "q32_stream_dedup" -> ((s, dir) => Dedup.streamDedup(s, dir)),
     "q33_stream_tiles" -> ((s, dir) => EventOps.streamTileHistogram(s, dir)),
+    // incremental consumption: three appended units, read back ONLY the
+    // window after snapshot 1 — the downstream checkpoint-resume primitive
+    "q36_incremental_read" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = tempStore("graft_q36_")
+      val store = new graft.table.SnapshotStore(s, root)
+      val pts = Points(s, dir)
+      (0 until 3).foreach(u =>
+        store.append(pts.filter(pmod(col("id"), lit(3)) === u), s"unit-$u",
+          numPartitions = 4))
+      store.appendedSince(1).select(col("id"), col("lat"), col("lon"))
+    }),
+    // time travel: two appends, then read the FIRST snapshot back
+    "q37_time_travel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = tempStore("graft_q37_")
+      val store = new graft.table.SnapshotStore(s, root)
+      val pts = Points(s, dir)
+      store.append(pts.filter(pmod(col("id"), lit(2)) === 0), "unit-0",
+        numPartitions = 4)
+      store.append(pts.filter(pmod(col("id"), lit(2)) === 1), "unit-1",
+        numPartitions = 4)
+      store.readAt(1)._1.select(col("id"), col("lat"), col("lon"))
+    }),
     // stateless streaming spatial join (zone alerting): stream == batch
     // under the q09b boxJoin oracle
     "q35_stream_boxjoin" -> ((s, dir) => EventOps.streamBoxJoin(s, dir)),
@@ -328,6 +352,10 @@ object SparkEntry {
     // stream-ingested snapshot table == the batch table, checked through
     // the same histogram oracle
     "q34_stream_ingest" -> OracleSql.tileHistogram(Fixtures.TileRes),
+    // incremental window = units 1 and 2 of the modulus-3 split
+    "q36_incremental_read" -> OracleSql.pointsModIn(3, Seq(1, 2)),
+    // snapshot 1 = the even-id unit only
+    "q37_time_travel" -> OracleSql.pointsModIn(2, Seq(0)),
     // stateless streaming join == the batch boxJoin oracle
     "q35_stream_boxjoin" -> OracleSql.boxJoin(Fixtures.boxes),
   )

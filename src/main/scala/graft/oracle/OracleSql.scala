@@ -70,6 +70,13 @@ object OracleSql {
     s"""$pointsCte
        |SELECT id, lat, lon FROM pts""".stripMargin
 
+  /** Slice of the cloud by an id-modulus predicate — the oracle for
+    * incremental reads (appendedSince over modulus-partitioned units) and
+    * time travel (readAt a snapshot holding one modulus class). */
+  def pointsModIn(mod: Int, classes: Seq[Int]): String =
+    s"""$pointsCte
+       |SELECT id, lat, lon FROM pts WHERE id % $mod IN (${classes.mkString(", ")})""".stripMargin
+
   /** Cloud minus a box — the oracle for row-level (equality) deletes:
     * deleting the box's rows must leave exactly the complement. */
   def allPointsExcept(b: MBR): String =
