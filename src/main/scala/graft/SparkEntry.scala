@@ -157,6 +157,19 @@ object SparkEntry {
         numPartitions = 4)
       store.readAt(1)._1.select(col("id"), col("lat"), col("lon"))
     }),
+    // Bloom-pruned key point lookup over the snapshot store: only files
+    // whose manifest sidecar filter might hold a probed id are opened
+    "q38_bloom_lookup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = tempStore("graft_q38_")
+      val store = new graft.table.SnapshotStore(s, root, bloomKey = Some("id"))
+      val pts = Points(s, dir)
+      (0 until 3).foreach(u =>
+        store.append(pts.filter(pmod(col("id"), lit(3)) === u), s"unit-$u",
+          numPartitions = 4))
+      store.lookupByKey(Seq(11L, 15L, 22L, 26L, -7L))._1
+        .select(col("id"), col("lat"), col("lon"))
+    }),
     // stateless streaming spatial join (zone alerting): stream == batch
     // under the q09b boxJoin oracle
     "q35_stream_boxjoin" -> ((s, dir) => EventOps.streamBoxJoin(s, dir)),
@@ -356,6 +369,8 @@ object SparkEntry {
     "q36_incremental_read" -> OracleSql.pointsModIn(3, Seq(1, 2)),
     // snapshot 1 = the even-id unit only
     "q37_time_travel" -> OracleSql.pointsModIn(2, Seq(0)),
+    // Bloom pruning must never change results: plain IN-list oracle
+    "q38_bloom_lookup" -> OracleSql.pointLookupIn(Seq(11L, 15L, 22L, 26L, -7L)),
     // stateless streaming join == the batch boxJoin oracle
     "q35_stream_boxjoin" -> OracleSql.boxJoin(Fixtures.boxes),
   )

@@ -91,6 +91,12 @@ object OracleSql {
     s"""$pointsCte
        |SELECT id, lat, lon FROM pts WHERE id >= $lo AND id <= $hi""".stripMargin
 
+  /** Exact-key lookup — the oracle for the Bloom-pruned store lookup
+    * (pruning may only change which FILES are opened, never the rows). */
+  def pointLookupIn(ids: Seq[Long]): String =
+    s"""$pointsCte
+       |SELECT id, lat, lon FROM pts WHERE id IN (${ids.mkString(", ")})""".stripMargin
+
   def tileAssign(r: Int): String =
     s"""$pointsCte
        |SELECT id, ${cellSql("lat", "lon", r)} AS cell FROM pts""".stripMargin

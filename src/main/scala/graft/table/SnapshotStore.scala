@@ -46,11 +46,13 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   * already present in the current snapshot ([[resumableRun]]).
   */
 final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
-                          histRes: Int = 8) {
+                          histRes: Int = 8,
+                          bloomKey: Option[String] = None) {
 
   private val metaDir = Paths.get(root, "meta")
   private val currentPtr = metaDir.resolve("current")
   private val histDir = metaDir.resolve("hist")
+  private val bloomDir = metaDir.resolve("bloom")
   Files.createDirectories(metaDir)
   Files.createDirectories(Paths.get(root, "data"))
 
@@ -174,7 +176,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     writeHist(unitDir, lineageId)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    commit(footerStats(unitDir, lineageId, wallMs, withZ = true))
+    val entries = footerStats(unitDir, lineageId, wallMs, withZ = true)
+    writeBloom(unitDir, lineageId, entries)
+    commit(entries)
   }
 
   /** Persist the unit's per-cell histogram (one columnar lat/lon pass over
@@ -193,6 +197,73 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
     dir
+  }
+
+  /** Persist per-file Bloom filters over `bloomKey` for the unit just
+    * written (no-op when the store has no bloom key or the table lacks the
+    * column). One columnar write-time pass over (file, xxhash64(key));
+    * only partial BITSETS cross the aggregation exchange, never keys.
+    * Written BEFORE the commit under a unique dir, like [[writeHist]]: a
+    * crash leaves an orphan sidecar that [[lookupByKey]] simply never
+    * consults (lookups key filters by manifest path). */
+  private def writeBloom(unitDir: String, lineageId: String,
+                         entries: Seq[FileEntry]): Option[java.nio.file.Path] =
+    bloomKey.flatMap { key =>
+      val df = spark.read.parquet(unitDir)
+      if (!df.columns.contains(key) || entries.isEmpty) None
+      else {
+        import spark.implicits._
+        val bits = Bloom.bitsFor(entries.map(_.rows).max)
+        val dir = bloomDir.resolve(
+          s"$lineageId-${java.util.UUID.randomUUID().toString.take(8)}")
+        df.select(input_file_name().as("f"), xxhash64(col(key)).as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new BloomAgg(bits).toColumn.name("bits"))
+          .toDF("path", "bits")
+          .withColumn("k", lit(Bloom.K))
+          .withColumn("keyCol", lit(key))
+          .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+        Some(dir)
+      }
+    }
+
+  /** `file:`-URI and plain-path spellings of the same file must compare
+    * equal: manifest paths are Hadoop URIs (`file:/x`), `input_file_name`
+    * yields `file:///x`. */
+  private def normPath(p: String): String =
+    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+    else p
+
+  /** Key point lookup planned through the manifest Bloom sidecars: only
+    * files whose filter says a probed key MIGHT be present are opened
+    * (plus any file with no filter — fail open, e.g. units written before
+    * the store had a bloom key). The result applies the same
+    * sequence-scoped tombstone chain as [[read]], then refines exactly
+    * with a pushed `IN` predicate, so `lookupByKey(vs)` ==
+    * `read()._1.filter(key IN vs)` always — the Bloom only changes how
+    * many files the plan opens. Returns (rows, files read, total files). */
+  def lookupByKey(values: Seq[Any], keyCol: String = ""): (DataFrame, Int, Int) = {
+    val key = if (keyCol.nonEmpty) keyCol
+      else bloomKey.getOrElse(throw new IllegalArgumentException(
+        "store has no bloomKey: pass keyCol explicitly"))
+    val filters: Map[String, Array[Long]] =
+      if (!Files.exists(bloomDir)) Map.empty
+      else {
+        val dirs = listDir(bloomDir).map(_.toString)
+        if (dirs.isEmpty) Map.empty
+        else spark.read.parquet(dirs: _*)
+          .filter(col("keyCol") === key && col("k") === Bloom.K)
+          .select(col("path"), col("bits"))
+          .collect()
+          .map(r => normPath(r.getString(0)) -> r.getSeq[Long](1).toArray)
+          .toMap
+      }
+    val hashes = values.map(Bloom.hashLiteral)
+    planAt(currentSnapshotId,
+      keep = e => filters.get(normPath(e.path))
+        .forall(bits => hashes.exists(Bloom.mightContain(bits, _))),
+      refine = df => df.filter(col(key).isin(values: _*)))
   }
 
   /** Write-time hot-cell set at resolution `r` — the zero-query-time-scan
@@ -351,7 +422,24 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   /** Time travel: the same planned read against ANY committed snapshot —
     * vacuum() keeps every snapshot's files, so pre-compaction history
     * stays queryable until snapshots are expired out-of-band. */
-  def readAt(snapshotId: Long, box: Option[MBR] = None): (DataFrame, Int, Int) = {
+  def readAt(snapshotId: Long, box: Option[MBR] = None): (DataFrame, Int, Int) =
+    planAt(snapshotId,
+      keep = e => box.forall(b =>
+        MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b)),
+      refine = df => box match {
+        case Some(b) =>
+          val ranges = CellId.zRangesForMbr(b, zRes, maxRanges = 64)
+          df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
+        case None => df
+      })
+
+  /** Shared snapshot planner: `keep` prunes manifest data entries (file
+    * skipping — MBR overlap for box reads, Bloom probes for key lookups),
+    * `refine` narrows the surviving files' rows (Z-range disjunction /
+    * pushed key predicate). Both read paths share the sequence-scoped
+    * tombstone chain below. */
+  private def planAt(snapshotId: Long, keep: FileEntry => Boolean,
+                     refine: DataFrame => DataFrame): (DataFrame, Int, Int) = {
     // drop compaction lineage markers (zero-file entries kept only so
     // resumableRun still recognizes pre-compaction units as committed)
     val all = manifest(snapshotId).filter(_.path.nonEmpty)
@@ -380,22 +468,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     var keptCount = 0
     def groupDf(g: Int): Option[DataFrame] = {
       val ents = entries.filter(e => dels.count(_.seq <= e.seq) == g)
-      val kept = box match {
-        case None => ents
-        case Some(b) => ents.filter(e =>
-          MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b))
-      }
+      val kept = ents.filter(keep)
       keptCount += kept.size
       if (kept.isEmpty) None
-      else {
-        val df = spark.read.parquet(kept.map(_.path): _*)
-        Some(box match {
-          case Some(b) =>
-            val ranges = CellId.zRangesForMbr(b, zRes, maxRanges = 64)
-            df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
-          case None => df
-        })
-      }
+      else Some(refine(spark.read.parquet(kept.map(_.path): _*)))
     }
     var acc: Option[DataFrame] = groupDf(0)
     for (k <- 1 to dels.size) {
@@ -507,6 +583,16 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       val lin = d.getFileName.toString.dropRight(9) // strip "-<uuid8>"
       if (folded.contains(lin)) deleteRecursive(d)
     }
+    // same write-then-delete swap for the Bloom sidecars: the compacted
+    // unit's filters land first, then filters of folded units go (their
+    // file paths left the manifest, so lookups would never consult them —
+    // this is space reclamation, not correctness)
+    val freshBloom = writeBloom(unitDir, lineage, stats)
+    if (Files.exists(bloomDir))
+      listDir(bloomDir).filterNot(freshBloom.contains).foreach { d =>
+        val lin = d.getFileName.toString.dropRight(9)
+        if (folded.contains(lin)) deleteRecursive(d)
+      }
     next
   }
 

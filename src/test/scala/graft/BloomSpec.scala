@@ -1,0 +1,103 @@
+package graft
+
+import graft.data.Points
+import graft.table.{Bloom, SnapshotStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Manifest-level Bloom pruning for key point lookups: no false negatives
+  * ever (the superset contract), observable file skipping, and exact
+  * agreement with read()+filter under appends, deletes, and compaction. */
+class BloomSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft_bloom").toString
+
+  lazy val pts = Points(spark, "/root/testdata/sf0.001").cache()
+
+  def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Double)] =
+    df.select("id", "lat", "lon")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+
+  def freshStore(root: String): SnapshotStore = {
+    val st = new SnapshotStore(spark, root, bloomKey = Some("id"))
+    (0 until 3).foreach(u =>
+      st.append(pts.filter(pmod(col("id"), lit(3)) === u), s"unit-$u",
+        numPartitions = 4))
+    st
+  }
+
+  test("bit math: planted hashes always hit; fpp stays near design point") {
+    val bits = Bloom.bitsFor(10000)
+    val set = new Array[Long](bits / 64)
+    val planted = (0 until 10000).map(i => Bloom.hashLiteral(i.toLong))
+    planted.foreach(Bloom.add(set, _))
+    assert(planted.forall(Bloom.mightContain(set, _))) // no false negatives, ever
+    val probes = (100000 until 200000).map(i => Bloom.hashLiteral(i.toLong))
+    val fp = probes.count(Bloom.mightContain(set, _))
+    assert(fp < probes.size * 0.03, s"fpp ${fp.toDouble / probes.size}") // ~0.8% design
+  }
+
+  test("lookup == read+filter for every sampled key; files pruned") {
+    val st = freshStore(tmp())
+    val (_, _, total) = st.read()
+    assert(total == 12)
+    val ids = norm(pts).map(_._1).distinct
+    val sample = ids.grouped(math.max(1, ids.size / 50)).map(_.head).toSeq
+    sample.foreach { id =>
+      val (df, kept, tot) = st.lookupByKey(Seq(id))
+      assert(tot == 12)
+      assert(norm(df) == norm(pts.filter(col("id") === id)), s"id $id")
+      // the id lives in ONE modulus unit; one data file holds it (plus
+      // possible ~1% fp files) — far below the 12-file full scan
+      assert(kept <= 3, s"id $id read $kept files")
+    }
+    // absent key: correct empty result; at most fp files opened
+    val (none, keptNone, _) = st.lookupByKey(Seq(-424242L))
+    assert(none.count() == 0 && keptNone <= 2)
+    // multi-key probe unions the per-key candidates
+    val three = sample.take(3)
+    val (multi, keptMulti, _) = st.lookupByKey(three)
+    assert(norm(multi) == norm(pts.filter(col("id").isin(three: _*))))
+    assert(keptMulti <= 6)
+  }
+
+  test("tombstones apply to lookups; compaction refreshes sidecars") {
+    val root = tmp()
+    val st = freshStore(root)
+    val victim = norm(pts).map(_._1).distinct.head
+    st.deleteWhere(col("id") === victim, "del-0")
+    assert(st.lookupByKey(Seq(victim))._1.count() == 0)
+    st.compact(numPartitions = 2)
+    // folded units' sidecars swept; the compacted unit's filter remains
+    val bloomDirs = Files.list(java.nio.file.Paths.get(root, "meta", "bloom"))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      bloomDirs.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally bloomDirs.close()
+    assert(names.size == 1 && names.head.startsWith("compact-"))
+    val survivor = norm(pts).map(_._1).distinct.apply(1)
+    val (df, kept, tot) = st.lookupByKey(Seq(survivor))
+    assert(tot == 2 && kept <= 2)
+    assert(norm(df) == norm(pts.filter(col("id") === survivor)))
+    assert(st.lookupByKey(Seq(victim))._1.count() == 0)
+  }
+
+  test("fail open: no sidecars (bloom-less store) still answers exactly") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root) // no bloomKey
+    st.append(pts, "unit-0", numPartitions = 4)
+    val id = norm(pts).map(_._1).distinct.head
+    val (df, kept, tot) = st.lookupByKey(Seq(id), keyCol = "id")
+    assert(kept == tot) // every file read — fail open, never wrong
+    assert(norm(df) == norm(pts.filter(col("id") === id)))
+    intercept[IllegalArgumentException](st.lookupByKey(Seq(id)))
+  }
+}
