@@ -222,6 +222,26 @@ object SparkEntry {
     "q42_image_resize" -> ((s, _) =>
       graft.ops.ImageOps.resize(graft.data.Synth.table(s, 200).toDF(), 16)
         .toDF().select("image_id", "w", "h")),
+    // crop + augment (rows-only: per-row raster kernels) — driver-facing
+    // projection decodes the OUTPUT bytes back to quantized stats, so the
+    // hash pins the transformed pixels, not just the row count
+    "q47_image_crop" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.ImageOps.decodeStats(
+          graft.ops.ImageOps.crop(graft.data.Synth.table(s, 200).toDF(), 4, 4, 16, 16)
+            .toDF().withColumn("fmt", lit("png")))
+        .toDF().select(col("image_id"), col("w"), col("h"),
+          floor(col("mean_lum") * 1000).cast("long").as("lum_q"))
+    }),
+    "q48_image_augment" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.ImageOps.decodeStats(
+          graft.ops.ImageOps.augment(graft.data.Synth.table(s, 200).toDF(),
+            Seq("flip_h", "rot90", "brighten16"))
+            .toDF().withColumn("fmt", lit("png")))
+        .toDF().select(col("image_id"), col("w"), col("h"), col("phash"),
+          floor(col("mean_lum") * 1000).cast("long").as("lum_q"))
+    }),
     // visual near-dup dedup on the image table: phash quarter blocking
     // over originals + planted JPEG re-encodes (deterministic; recall
     // pinned in ImageOpsSpec; rows-only driver check — phash arithmetic

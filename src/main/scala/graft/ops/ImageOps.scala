@@ -181,6 +181,99 @@ object ImageOps {
       .unionAll(planted)
   }
 
+  case class Cropped(image_id: String, bytes: Array[Byte], w: Int, h: Int)
+
+  /** Rectangular crop: the requested window intersected with the image
+    * bounds (rows whose window misses the image entirely are dropped —
+    * a filter, not an error, matching how a curation pipeline treats
+    * undersized images). Lossless PNG re-encode, so cropped pixels are
+    * bit-identical to the source region (spec-pinned). Partition-wise
+    * typed kernel; bytes stay executor-side. */
+  def crop(images: DataFrame, cx: Int, cy: Int, cw: Int, ch: Int): Dataset[Cropped] = {
+    import images.sparkSession.implicits._
+    require(cw > 0 && ch > 0, "crop window must have positive extent")
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img = Codec.decode(bytes)
+        val x0 = math.max(0, cx); val y0 = math.max(0, cy)
+        val x1 = math.min(img.getWidth, cx + cw)
+        val y1 = math.min(img.getHeight, cy + ch)
+        if (x1 <= x0 || y1 <= y0) Iterator.empty
+        else {
+          val out = new java.awt.image.BufferedImage(x1 - x0, y1 - y0,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { out.setRGB(x - x0, y - y0, img.getRGB(x, y)); x += 1 }
+            y += 1
+          }
+          Iterator.single(Cropped(id, Codec.encodePng(out), x1 - x0, y1 - y0))
+        }
+      })
+  }
+
+  case class Augmented(image_id: String, op: String, bytes: Array[Byte],
+                       w: Int, h: Int)
+
+  /** Deterministic augmentation fan-out — one output row per (image, op),
+    * `image_id` suffixed `~<op>` so augmented corpora re-enter every
+    * pipeline stage with unique ids. Exact pixel transforms (flips /
+    * quarter rotations are permutations; brightness is a clamped add),
+    * PNG-encoded, so the algebra (flip∘flip = id, rot90⁴ = id) holds
+    * bit-for-bit and is spec-pinned. */
+  val AugOps: Set[String] =
+    Set("flip_h", "flip_v", "rot90", "rot180", "rot270", "brighten16", "darken16")
+
+  def augment(images: DataFrame, ops: Seq[String]): Dataset[Augmented] = {
+    import images.sparkSession.implicits._
+    val bad = ops.filterNot(AugOps)
+    require(bad.isEmpty, s"unknown augment ops: ${bad.mkString(", ")}")
+    val opsB = ops.toArray
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img = Codec.decode(bytes)
+        opsB.iterator.map { op =>
+          val out = applyAug(img, op)
+          Augmented(s"$id~$op", op, Codec.encodePng(out),
+            out.getWidth, out.getHeight)
+        }
+      })
+  }
+
+  private def applyAug(img: java.awt.image.BufferedImage,
+                       op: String): java.awt.image.BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val (ow, oh) = op match {
+      case "rot90" | "rot270" => (h, w)
+      case _ => (w, h)
+    }
+    val out = new java.awt.image.BufferedImage(ow, oh,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        op match {
+          case "flip_h" => out.setRGB(w - 1 - x, y, p)
+          case "flip_v" => out.setRGB(x, h - 1 - y, p)
+          case "rot90" => out.setRGB(h - 1 - y, x, p) // clockwise
+          case "rot180" => out.setRGB(w - 1 - x, h - 1 - y, p)
+          case "rot270" => out.setRGB(y, w - 1 - x, p)
+          case "brighten16" | "darken16" =>
+            val d = if (op == "brighten16") 16 else -16
+            def ch(v: Int) = math.max(0, math.min(255, v + d))
+            out.setRGB(x, y, (ch((p >>> 16) & 0xFF) << 16) |
+              (ch((p >>> 8) & 0xFF) << 8) | ch(p & 0xFF))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   case class Resized(image_id: String, bytes: Array[Byte], w: Int, h: Int)
 
   /** Resize to a bounding square, re-encode PNG (lossless so downstream

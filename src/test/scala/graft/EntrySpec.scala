@@ -44,7 +44,8 @@ class EntrySpec extends AnyFunSuite {
     // dataflow's input)
     assert(rowsOnly == Set("q26_simhash", "q27_fingerprint",
       "q40_image_decode", "q41_image_embed", "q42_image_resize",
-      "q44_frame_sample", "q45_audio_features"),
+      "q44_frame_sample", "q45_audio_features",
+      "q47_image_crop", "q48_image_augment"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -127,6 +127,71 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("crop: pixels bit-identical to the source region; window clamped") {
+    val out = ImageOps.crop(images, 4, 6, 10, 12).collect()
+    assert(out.length == images.count())
+    val src = images.select("image_id", "bytes").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    out.foreach { c =>
+      val orig = Codec.decode(src(c.image_id))
+      val got = Codec.decode(c.bytes)
+      val (x1, y1) = (math.min(orig.getWidth, 14), math.min(orig.getHeight, 18))
+      assert(got.getWidth == x1 - 4 && got.getHeight == y1 - 6)
+      for (y <- 6 until y1; x <- 4 until x1)
+        assert((got.getRGB(x - 4, y - 6) & 0xFFFFFF) == (orig.getRGB(x, y) & 0xFFFFFF))
+    }
+    // window fully outside every image -> rows filtered, not an error
+    assert(ImageOps.crop(images, 10000, 10000, 5, 5).count() == 0)
+    // full-frame crop is the identity on pixels
+    val full = ImageOps.crop(images.limit(4), 0, 0, 100000, 100000).collect()
+    full.foreach { c =>
+      val orig = Codec.decode(src(c.image_id))
+      assert(Codec.psnr(Codec.decode(c.bytes), orig).isPosInfinity)
+    }
+  }
+
+  test("augment: exact transform algebra (flip^2 = id, rot90^4 = id, brightness shifts)") {
+    val four = images.limit(4)
+    def pix(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[String]("image_id") -> Codec.decode(r.getAs[Array[Byte]]("bytes"))
+    }.toMap
+    val src = pix(four)
+    val a1 = ImageOps.augment(four, Seq("flip_h", "rot90", "brighten16")).toDF()
+    // flip_h twice = identity
+    val flipped = a1.filter(col("op") === "flip_h")
+      .withColumnRenamed("image_id", "iid").withColumn("image_id", col("iid"))
+    val back = ImageOps.augment(flipped, Seq("flip_h")).collect()
+    back.foreach { r =>
+      val origId = r.image_id.split("~").head
+      assert(Codec.psnr(Codec.decode(r.bytes), src(origId)).isPosInfinity,
+        s"flip_h^2 != id for $origId")
+    }
+    // rot90 four times = identity
+    var cur: org.apache.spark.sql.DataFrame = four.toDF()
+    (1 to 4).foreach(_ => cur = ImageOps.augment(cur, Seq("rot90")).toDF())
+    cur.collect().foreach { r =>
+      val origId = r.getAs[String]("image_id").split("~").head
+      assert(Codec.psnr(Codec.decode(r.getAs[Array[Byte]]("bytes")),
+        src(origId)).isPosInfinity, s"rot90^4 != id for $origId")
+    }
+    // brighten16 raises each unclamped channel by exactly 16
+    a1.filter(col("op") === "brighten16").collect().foreach { r =>
+      val origId = r.getAs[String]("image_id").split("~").head
+      val o = src(origId); val g = Codec.decode(r.getAs[Array[Byte]]("bytes"))
+      for (y <- 0 until o.getHeight; x <- 0 until o.getWidth) {
+        val pa = o.getRGB(x, y); val pb = g.getRGB(x, y)
+        Seq(16, 8, 0).foreach { sh =>
+          val va = (pa >>> sh) & 0xFF; val vb = (pb >>> sh) & 0xFF
+          assert(vb == math.min(255, va + 16), s"channel at ($x,$y)")
+        }
+      }
+    }
+    // augmented ids are unique and re-enter the pipeline
+    val ids = a1.select("image_id").collect().map(_.getString(0))
+    assert(ids.distinct.length == ids.length && ids.forall(_.contains("~")))
+    intercept[IllegalArgumentException](ImageOps.augment(four, Seq("zoom")))
+  }
+
   test("binaryFile source: read a directory of real image files into the pipeline") {
     val dir = Files.createTempDirectory("graft_imgs")
     for (i <- 0 until 12) {
