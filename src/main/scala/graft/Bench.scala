@@ -29,7 +29,7 @@ object Bench {
     * NOT share a JVM with the other leg or with this session — back-to-back
     * single-JVM legs carry multi-× JIT/GC ordering bias (measured round 1).
     * Returns the leg's rows/sec, or -1 if the child failed. */
-  private def scalingLeg(cpus: Int, rows: Long): Double = {
+  private def scalingLeg(cpus: Int, rows: Long, iters: Int = 2): Double = {
     val classes =
       try new java.io.File(graft.bench.ScalingBench.getClass
         .getProtectionDomain.getCodeSource.getLocation.toURI).getPath
@@ -42,6 +42,7 @@ object Bench {
       "graft.bench.ScalingBench", cpus.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_SCALE_ROWS", rows.toString)
+    pb.environment().put("SPARK_GRAFT_SCALE_ITERS", iters.toString)
     pb.redirectErrorStream(false)
     val p = pb.start()
     // drain stderr (Spark logs) so the child can't block on a full pipe
@@ -120,17 +121,26 @@ object Bench {
     // artifact itself: the SAME pipeline at two parallelism levels (N=4 vs
     // 4N=16 — the faithful cluster analog per BASELINE.md; 32 threads
     // saturate this box's shared memory bandwidth), each leg a FRESH child
-    // JVM over an identical deterministic input. tools/scaling.sh remains
-    // the full-scale (1e9-row) protocol.
-    val scRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "400000000").toLong
-    val (effN, eff4N, eff) =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) (-1.0, -1.0, -1.0)
-      else {
-        val n = scalingLeg(4, scRows)
-        val n4 = scalingLeg(16, scRows)
-        (n, n4, if (n > 0 && n4 > 0) (n4 / n) / 4.0 else -1.0)
-      }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"scaling_rows":$scRows,"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
+    // JVM over an identical deterministic 1e9-row input (the same size as
+    // tools/scaling.sh: a 4e8-row probe understated efficiency as 0.62
+    // because fixed per-pass overhead amortizes at 4 cores but not at 16).
+    // `pairs` interleaved JVM pairs, MEDIAN per level: single-pair
+    // efficiencies on this box spread 0.71-0.97 (noisy-neighbor variance
+    // BETWEEN leg JVMs dominates in-JVM variance), while cross-pair
+    // per-level medians are stable. Raw legs are published alongside.
+    val scRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "1000000000").toLong
+    val scPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "3").toInt
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    val (legs4, legs16) =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1"))
+        (Seq.empty[Double], Seq.empty[Double])
+      else (1 to scPairs).map(_ =>
+        (scalingLeg(4, scRows), scalingLeg(16, scRows))).unzip
+    val (effN, eff4N) = (med(legs4.filter(_ > 0)), med(legs16.filter(_ > 0)))
+    val eff = if (effN > 0 && eff4N > 0) (eff4N / effN) / 4.0 else -1.0
+    def arr(xs: Seq[Double]) = xs.map("%.1f".format(_)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
     spark.stop()
   }
 }

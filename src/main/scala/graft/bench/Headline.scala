@@ -92,7 +92,10 @@ object ScalingBench {
     val s = Headline.session(cpus)
     s.sparkContext.setLogLevel("WARN")
     val pts = Synth.pointCloud(s, n, partitions = cpus * 8)
-    val (rows, rps) = Headline.measure(pts)
+    // iters override: the multi-pair in-bench protocol medians ACROSS leg
+    // JVMs (where the variance lives), so it trims the in-JVM reps
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
+    val (rows, rps) = Headline.measure(pts, iters)
     s.stop()
     println(f"""{"metric":"headline_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","cpus":$cpus,"rows":$rows}""")
   }

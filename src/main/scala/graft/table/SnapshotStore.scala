@@ -133,6 +133,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     import spark.implicits._
     if (snapshotId == 0) Seq.empty
     else {
+      if (!Files.exists(metaDir.resolve(s"snap-$snapshotId")))
+        throw new IllegalStateException(
+          s"snapshot $snapshotId is expired or was never committed")
       val raw = spark.read.parquet(s"$root/meta/snap-$snapshotId")
       val hasSeq = raw.columns.contains("seq")
       var patched = raw
@@ -635,7 +638,11 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     def canon(p: java.nio.file.Path): String =
       try p.toRealPath().toString
       catch { case _: Throwable => p.toAbsolutePath.normalize.toString }
-    val referenced = (1L to currentSnapshotId).flatMap(manifest(_))
+    val referenced = (1L to currentSnapshotId)
+      // expired snapshots no longer pin their files — that is the point
+      // of expireSnapshots; their dirs become reclaimable here
+      .filter(k => Files.exists(metaDir.resolve(s"snap-$k")))
+      .flatMap(manifest(_))
       .filter(_.path.nonEmpty)
       .map(e => canon(Paths.get(e.path.stripPrefix("file:")).getParent))
       .toSet
@@ -653,6 +660,23 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
            catch { case _: Throwable => false })
       }
       .map { d => deleteRecursive(d); d.toString }
+  }
+
+  /** Retire history: delete manifests of snapshots older than the newest
+    * `keepLast` (Iceberg's expire-snapshots analog, completing the storage
+    * lifecycle with [[vacuum]]: expiry makes pre-compaction data dirs
+    * unreferenced, vacuum then reclaims them — without expiry every
+    * snapshot pins its files forever). The CURRENT snapshot is always
+    * kept; [[readAt]]/[[appendedSince]] against an expired snapshot fail
+    * loudly (missing manifest), never silently re-resolve. Returns the
+    * expired snapshot ids. */
+  def expireSnapshots(keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentSnapshotId
+    val expired = (1L to cur - keepLast).filter(k =>
+      Files.exists(metaDir.resolve(s"snap-$k")))
+    expired.foreach(k => deleteRecursive(metaDir.resolve(s"snap-$k")))
+    expired
   }
 
   /** Resumable multi-unit job: process only units not yet committed.

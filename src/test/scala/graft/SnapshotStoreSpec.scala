@@ -410,6 +410,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(preCompact: _*).count() == 150)
   }
 
+  test("expireSnapshots + vacuum complete the lifecycle: history retired, storage reclaimed") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    (0 until 3).foreach(u =>
+      st.append(pts.filter(org.apache.spark.sql.functions.pmod(col("id"),
+        org.apache.spark.sql.functions.lit(3)) === u), s"u-$u", numPartitions = 2))
+    st.compact(numPartitions = 2) // current = 4; units 1-3 referenced only by history
+    val before = st.read()._1.select("id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    def backdateAll(): Unit = {
+      val s = Files.walk(java.nio.file.Paths.get(root, "data"))
+      val all = try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq } finally s.close()
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000)
+      all.foreach(p => Files.setLastModifiedTime(p, old))
+    }
+    backdateAll()
+    // history pins the pre-compaction units: vacuum reclaims nothing
+    assert(st.vacuum(olderThanMs = 60000).isEmpty)
+    assert(st.expireSnapshots(keepLast = 1) == Seq(1L, 2L, 3L))
+    // expiring again is a no-op; current snapshot always survives
+    assert(st.expireSnapshots(keepLast = 1).isEmpty)
+    intercept[IllegalStateException](st.readAt(2))
+    val removed = st.vacuum(olderThanMs = 60000)
+    assert(removed.size == 3, s"expected the 3 pre-compaction units, got $removed")
+    val after = st.read()._1.select("id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    assert(after == before)
+    intercept[IllegalArgumentException](st.expireSnapshots(keepLast = 0))
+  }
+
   test("image table through the store: payload intact after cluster+commit") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
