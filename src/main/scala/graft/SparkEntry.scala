@@ -95,6 +95,12 @@ object SparkEntry {
     "q16_tile_histogram" -> ((s, dir) => SpatialOps.tileHistogram(Points(s, dir))),
     "q16b_tile_pyramid" -> ((s, dir) => SpatialOps.tilePyramid(Points(s, dir))),
     "q17_pip_join" -> ((s, dir) => SpatialOps.pipJoin(Points(s, dir), Fixtures.polys)),
+    // vector→raster: rasterize the fixture polygons onto the cell grid
+    // (no data table involved — the raster is a function of the geometry)
+    "q19_rasterize" -> ((s, _) => SpatialOps.rasterize(s, Fixtures.polys)),
+    // raster↔vector zonal statistics: per-polygon aggregates of the cloud
+    "q19b_zonal_stats" -> ((s, dir) =>
+      SpatialOps.zonalStats(Points(s, dir), Fixtures.polys)),
     "q18_distance_join" -> ((s, dir) => SpatialOps.distanceJoin(Points(s, dir),
       Fixtures.distEps, Fixtures.distProbeMod)),
     // --- training-data pipeline ops over documents/embeddings/events ---
@@ -114,6 +120,10 @@ object SparkEntry {
     "q26b_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), stagePath = Some(Q26bStagePath))),
     "q27_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    // benchmark decontamination + intra-doc repetition (Gopher-style
+    // quality rule) — both fully oracle-checked
+    "q49_contamination" -> ((s, dir) => TextOps.contamination(docs(s, dir))),
+    "q50_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "q28_ann_topk" -> ((s, dir) =>
       AnnOps.cosineTopK(emb(s, dir), Fixtures.annQueryIds, Fixtures.annK)),
     "q28b_ann_ivf" -> ((s, dir) =>
@@ -260,6 +270,20 @@ object SparkEntry {
           graft.data.Synth.table(s, 400).toDF(), everyN = 20),
         minTokens = 7, maxHamming = 3, perTile = 4, r = Fixtures.TileRes,
         stagePath = Some(Q46StagePath))),
+    // per-row image+caption pair integrity (the north rule's per-row
+    // invariant as an operator) over a table with planted corruptions —
+    // rows-only (hash kernels); planted-detection exactness spec-pinned
+    "q51_pair_integrity" -> ((s, _) =>
+      graft.ops.ImageOps.pairIntegrity(
+        graft.ops.ImageOps.withPlantedCorruption(
+          graft.data.Synth.table(s, 400).toDF())).toDF()),
+    // transcode QA: PSNR of a deterministic JPEG re-encode vs the source
+    // payload — the "PSNR >= 40 dB for lossy" leg, applied row-wise
+    "q51b_transcode_qa" -> ((s, _) => {
+      val imgs = graft.data.Synth.table(s, 200).toDF()
+      graft.ops.ImageOps.transcodeQa(imgs,
+        graft.ops.ImageOps.reencodeJpeg(imgs, 0.9f).toDF()).toDF()
+    }),
     // frame sampling over the opaque video container (multimodal op:
     // every 2nd frame decoded partition-wise, scalar projection for the
     // driver; container codec + sampling pinned in VideoOpsSpec)
@@ -345,6 +369,8 @@ object SparkEntry {
     "q16_tile_histogram" -> OracleSql.tileHistogram(Fixtures.TileRes),
     "q16b_tile_pyramid" -> OracleSql.tilePyramid(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
+    "q19_rasterize" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
+    "q19b_zonal_stats" -> OracleSql.zonalStats(Fixtures.polys),
     "q18_distance_join" -> OracleSql.distanceJoin(Fixtures.distEps, Fixtures.distProbeMod),
     "q20_token_count" -> OracleSql.tokenCount,
     "q20b_token_bpe" -> OracleSql.tokenCountBpe(TextOps.BpeTokenPattern),
@@ -352,6 +378,8 @@ object SparkEntry {
     "q22_lang_id" -> OracleSql.langId(Fixtures.stopwords),
     "q23_dedup_exact" -> OracleSql.dedupExact,
     "q24_ngram_jaccard" -> OracleSql.ngramJaccard(5, Fixtures.jaccardThreshold),
+    "q49_contamination" -> OracleSql.contamination(Fixtures.benchMod, Fixtures.contamK),
+    "q50_repetition" -> OracleSql.repetition(Fixtures.repetitionK),
     "q25_minhash_lsh" -> OracleSql.minhashLshStaged(Q25StagePath,
       Fixtures.minhashNum, Fixtures.minhashBands, 0.5),
     // q26/q27 (simhash, fingerprint) use xxhash64/JVM hashing — not

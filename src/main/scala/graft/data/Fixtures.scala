@@ -69,6 +69,11 @@ object Fixtures {
 
   val polys: Seq[(Int, Poly)] = Seq(polyConvex, polyConcave)
 
+  /** Raster resolution for polygon rasterization (vector→raster): 128×128
+    * cells keeps the fixture polygons' coverings in the hundreds — enough
+    * cells to exercise interior/edge/notch cases without an oracle blowup. */
+  val RasterRes = 7
+
   /** Reference bulk-load fan-out (RStarTree.java:8 M=50). */
   val PackFanout = 50
 
@@ -77,6 +82,14 @@ object Fixtures {
 
   /** n-gram Jaccard near-dup threshold (word 3-grams). */
   val jaccardThreshold = 0.2
+
+  /** Repetition-ratio window (word trigrams — the Gopher dup-ngram size). */
+  val repetitionK = 3
+
+  /** Contamination check: docs with doc_id % benchMod == 0 stand in for
+    * the benchmark corpus; overlap measured on word 5-gram shingles. */
+  val benchMod = 97L
+  val contamK = 5
 
   /** MinHash parameters: 32 hashes, 8 bands × 4 rows. */
   val minhashNum = 32

@@ -181,6 +181,101 @@ object ImageOps {
       .unionAll(planted)
   }
 
+  case class Integrity(image_id: String, decode_ok: Boolean, dims_ok: Boolean,
+                       phash_dist: Int, caption_ok: Boolean, ok: Boolean)
+
+  /** Per-row image+caption pair integrity — the north rule's per-row
+    * invariant (decoded pixels consistent + caption linkage) as a
+    * first-class curation operator, not just a test. Each row is validated
+    * against its OWN stored metadata, so the check needs no second table:
+    *
+    *  - `decode_ok`   — the payload decodes at all;
+    *  - `dims_ok`     — decoded dimensions equal the stored (w, h);
+    *  - `phash_dist`  — Hamming distance between the stored phash and one
+    *                    recomputed from the decoded pixels. The store
+    *                    contract (phash computed over DECODED bytes,
+    *                    [[graft.data.Synth.row]]) makes 0 the healthy
+    *                    value even for lossy formats;
+    *  - `caption_ok`  — the caption references this row's image_id (the
+    *                    pair-linkage check that catches caption swaps).
+    *
+    * One partition-wise pass, bytes never leave the executor, output is a
+    * compact flag row — the shape that filters a 10¹²-row table with one
+    * narrow scan. Rows-only driver check (hashing is not SQL-expressible);
+    * planted-corruption detection is spec-pinned. */
+  def pairIntegrity(images: DataFrame): Dataset[Integrity] = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes", "w", "h", "caption", "phash")
+      .as[(String, Array[Byte], Int, Int, String, Long)]
+      .mapPartitions(_.map { case (id, bytes, w, h, cap, ph) =>
+        val capOk = cap != null && cap.contains(id)
+        try {
+          val img = Codec.decode(bytes)
+          val dimsOk = img.getWidth == w && img.getHeight == h
+          val dist = java.lang.Long.bitCount(Codec.pHash64(img) ^ ph)
+          Integrity(id, decode_ok = true, dimsOk, dist, capOk,
+            dimsOk && dist == 0 && capOk)
+        } catch {
+          case _: Throwable =>
+            Integrity(id, decode_ok = false, dims_ok = false, 64, capOk, ok = false)
+        }
+      })
+  }
+
+  case class TranscodeQa(image_id: String, psnr_q: Long, ok: Boolean)
+
+  /** Transcode QA: exact PSNR between two encodings of the same image —
+    * the "PSNR ≥ 40 dB for lossy formats" leg of the north rule's per-row
+    * invariant, applied after any re-encode (format migration, augment,
+    * thumbnail round-trip). Equi-join on image_id (both payload sides ship
+    * through one co-partitioned exchange — unavoidable for a pixel
+    * comparison; at scale both tables are image_id-bucketed so the join is
+    * zero-shuffle) then a partition-wise decode+PSNR pass. psnr_q =
+    * floor(psnr × 100); bit-identical payloads report Long.MaxValue. */
+  def transcodeQa(a: DataFrame, b: DataFrame, minDb: Double = 40.0): Dataset[TranscodeQa] = {
+    import a.sparkSession.implicits._
+    a.select(col("image_id"), col("bytes").as("bytes_a"))
+      .join(b.select(col("image_id"), col("bytes").as("bytes_b")), Seq("image_id"))
+      .as[(String, Array[Byte], Array[Byte])]
+      .mapPartitions(_.map { case (id, ba, bb) =>
+        try {
+          val p = Codec.psnr(Codec.decode(ba), Codec.decode(bb))
+          val pq = if (p.isInfinite) Long.MaxValue else math.floor(p * 100).toLong
+          TranscodeQa(id, pq, p >= minDb)
+        } catch { case _: Throwable => TranscodeQa(id, -1L, ok = false) }
+      })
+  }
+
+  /** Deterministic corruption plant for [[pairIntegrity]] fixtures: every
+    * 3·everyN-th row cycles through the three failure modes — truncated
+    * payload, caption pointing at a different image, wrong stored width. */
+  def withPlantedCorruption(images: DataFrame, everyN: Int = 25): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .as[(String, Array[Byte], Int, Int, String, String, Long)]
+      .mapPartitions(_.map { case r @ (id, bytes, w, h, fmt, cap, ph) =>
+        val n = id.stripPrefix("img").toLong // Synth ids: img%012d
+        if (n % (3L * everyN) == 0) (id, bytes.take(8), w, h, fmt, cap, ph)
+        else if (n % (3L * everyN) == everyN)
+          (id, bytes, w, h, fmt, cap.replace(id, "img_other"), ph)
+        else if (n % (3L * everyN) == 2L * everyN) (id, bytes, w + 1, h, fmt, cap, ph)
+        else r
+      })
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+  }
+
+  case class Reencoded(image_id: String, bytes: Array[Byte])
+
+  /** Deterministic JPEG re-encode of the decoded payload — the transcode
+    * half of the [[transcodeQa]] pair (format-migration simulation). */
+  def reencodeJpeg(images: DataFrame, quality: Float): Dataset[Reencoded] = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Reencoded(id, Codec.encodeJpeg(Codec.decode(bytes), quality))
+      })
+  }
+
   case class Cropped(image_id: String, bytes: Array[Byte], w: Int, h: Int)
 
   /** Rectangular crop: the requested window intersected with the image

@@ -292,6 +292,63 @@ object SpatialOps {
     }.reduce(_ unionAll _)
   }
 
+  /** Polygon rasterization (vector→raster — the inverse of [[tileAssign]],
+    * closing the north rule's raster↔vector pair in both directions):
+    * every cell at resolution r whose CENTER lies inside the polygon.
+    * Runs as a distributed `spark.range` over the polygon's bbox cell box
+    * (candidate count = bbox area in cells — independent of any data
+    * table's size) filtered by the same codegen'd even–odd ray-crossing
+    * predicate the PIP join refines with, evaluated at cell centers:
+    * zero shuffles, zero scans, no driver-side enumeration. At a fine
+    * target raster (r=15 → up to 10⁹ candidates for a continent-sized
+    * polygon) the range stage partitions across executors like any other
+    * narrow pipeline. Output: (poly_id, cell) with row-major cell ids. */
+  def rasterize(spark: org.apache.spark.sql.SparkSession,
+                polys: Seq[(Int, Poly)],
+                r: Int = Fixtures.RasterRes): DataFrame = {
+    polys.map { case (pid, p) =>
+      val b = p.bbox
+      val y0 = CellId.cellY(b.minLat, r); val y1 = CellId.cellY(b.maxLat, r)
+      val x0 = CellId.cellX(b.minLon, r); val x1 = CellId.cellX(b.maxLon, r)
+      val nx = x1 - x0 + 1
+      val cand = spark.range((y1 - y0 + 1) * nx)
+        .select((lit(y0) + floor(col("id") / lit(nx)).cast("long")).as("y"),
+                (lit(x0) + pmod(col("id"), lit(nx))).as("x"))
+      // cell-center arithmetic — identical IEEE op order to the oracle SQL
+      val cLat = (col("y").cast("double") + lit(0.5)) * lit(CellId.latStep(r)) - lit(90.0)
+      val cLon = (col("x").cast("double") + lit(0.5)) * lit(CellId.lonStep(r)) - lit(180.0)
+      cand.filter(GeoCols.stContains(p, cLat, cLon))
+        .select(lit(pid).as("poly_id"),
+          (col("y") * lit(CellId.n(r)) + col("x")).as("cell"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Zonal statistics (raster↔vector analytics): per-polygon aggregates of
+    * the points inside — count, exact integer id-sum, and the bounding
+    * range of matched coordinates. Same covering-cell prune + ray-crossing
+    * refine as [[pipJoin]], but each polygon's rows collapse map-side into
+    * a single partial-aggregate row (Spark's partial+final hash agg), so
+    * the shuffle carries ONE row per polygon per partition regardless of
+    * data size. Exactly one output row per polygon (empty zones surface
+    * with cnt=0 and null extrema, matching the SQL aggregate contract). */
+  def zonalStats(points: DataFrame, polys: Seq[(Int, Poly)],
+                 rOverride: Int = AutoRes): DataFrame = {
+    val r = resolveRes(points, polys.map(_._2.bbox), rOverride)
+    val cellPts = withCell(points, r)
+    polys.map { case (pid, p) =>
+      val cover = CellId.coverPoly(p, r)
+      val pruned =
+        if (cover.size <= 4096) cellPts.filter(col("cell").isin(cover: _*))
+        else cellPts
+      pruned.filter(GeoCols.stContains(p, col("lat"), col("lon")))
+        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"),
+          min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+          min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"))
+        .select(lit(pid).as("poly_id"), col("cnt"), col("sum_id"),
+          col("min_lat"), col("max_lat"), col("min_lon"), col("max_lon"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Skew-aware box join for shuffle-partitioned execution: when the small
     * side does NOT fit in a broadcast (huge box/polygon sets), the join
     * shuffles both sides on the cell key and hot cells (a Zipf point cloud,

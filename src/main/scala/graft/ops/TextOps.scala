@@ -74,6 +74,72 @@ object TextOps {
           .as("lang_pred"))
   }
 
+  /** Intra-document repetition ratio (the Gopher/C4-style duplicate-n-gram
+    * quality signal): per document, the fraction of word k-gram windows
+    * that are repeats of an earlier window. Pure per-row kernel (the
+    * window set never leaves the row) → shuffle-free, linear, and the
+    * ratio is exact integer arithmetic + one double division shared with
+    * the SQL twin. Documents shorter than k tokens are dropped (no
+    * windows → no ratio), matching the oracle's WHERE. */
+  def repetition(docs: DataFrame, k: Int = Fixtures.repetitionK): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) Iterator.empty
+        else {
+          val n = toks.length - k + 1
+          val seen = new java.util.HashSet[String](n * 2)
+          var i = 0
+          while (i < n) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          Iterator.single((id, n.toLong, seen.size.toLong))
+        }
+      })
+      .toDF("doc_id", "n_grams", "n_distinct")
+      .withColumn("rep_ratio", (col("n_grams") - col("n_distinct")) / col("n_grams"))
+  }
+
+  /** Benchmark-contamination detection: for every evaluation document, the
+    * fraction of its distinct word k-grams that appear ANYWHERE in the
+    * benchmark set (here: docs with doc_id % benchMod == 0 stand in for
+    * the held-out benchmark corpus). The decontamination filter every
+    * training pipeline runs before release.
+    *
+    * Scale shape: the benchmark's distinct-shingle set is tiny relative
+    * to the corpus (benchmarks are ~10⁶ grams; the corpus is 10¹²), so it
+    * BROADCASTS — the corpus side is one map-side pass whose per-doc
+    * aggregation collapses in the partial agg (a document's shingles are
+    * co-located by construction), leaving a one-row-per-doc shuffle. */
+  def contamination(docs: DataFrame, benchMod: Long = Fixtures.benchMod,
+                    k: Int = Fixtures.contamK): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) Iterator.empty
+        else Iterator.single((id, toks.sliding(k).map(_.mkString(" ")).toVector.distinct))
+      })
+      .toDF("doc_id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = base.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("hit", lit(1L))
+    val out = base.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contam_ratio", col("n_hit") / col("n_grams"))
+    OpUtil.finish(out, base)
+  }
+
   /** Document fingerprint: min over 5-gram shingle hash values — a
     * 64-bit content-defined fingerprint (single-hash MinHash). Typed
     * kernel over [[graft.ops.Dedup.hash64]] (the per-shingle hash lambda

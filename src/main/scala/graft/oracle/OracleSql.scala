@@ -149,6 +149,41 @@ object OracleSql {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Polygon rasterization oracle — twin of [[graft.ops.SpatialOps
+    * .rasterize]]: enumerate the bbox cell box via generate_series and
+    * keep cells whose center passes the same ray-crossing test (identical
+    * IEEE center arithmetic: (idx + 0.5) * step - offset). */
+  def rasterize(polys: Seq[(Int, Poly)], r: Int): String = {
+    val n = CellId.n(r)
+    val arms = polys.map { case (pid, p) =>
+      val b = p.bbox
+      val y0 = CellId.cellY(b.minLat, r); val y1 = CellId.cellY(b.maxLat, r)
+      val x0 = CellId.cellX(b.minLon, r); val x1 = CellId.cellX(b.maxLon, r)
+      val cLat = s"((CAST(y AS DOUBLE) + 0.5) * ${d(CellId.latStep(r))} - 90.0)"
+      val cLon = s"((CAST(x AS DOUBLE) + 0.5) * ${d(CellId.lonStep(r))} - 180.0)"
+      s"""SELECT $pid AS poly_id, y * $n + x AS cell
+         |FROM generate_series($y0, $y1) ys(y), generate_series($x0, $x1) xs(x)
+         |WHERE ${polyContainsSql(p, cLat, cLon)}""".stripMargin
+    }
+    arms.mkString("\nUNION ALL\n")
+  }
+
+  /** Zonal-statistics oracle — twin of [[graft.ops.SpatialOps.zonalStats]]:
+    * one aggregate row per polygon over the ray-crossing membership test.
+    * sum(id) is cast back to BIGINT (DuckDB widens integer sums to
+    * HUGEINT; the values fit a long by construction). */
+  def zonalStats(polys: Seq[(Int, Poly)]): String = {
+    val arms = polys.map { case (pid, p) =>
+      s"""SELECT $pid AS poly_id, count(*) AS cnt,
+         |       CAST(sum(id) AS BIGINT) AS sum_id,
+         |       min(lat) AS min_lat, max(lat) AS max_lat,
+         |       min(lon) AS min_lon, max(lon) AS max_lon
+         |FROM pts WHERE ${polyContainsSql(p)}""".stripMargin
+    }
+    s"""$pointsCte
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** ε-distance join oracle: brute self-join on the probe slice — twin of
     * [[graft.ops.SpatialOps.distanceJoin]] (d² = (b−a)² ordering). */
   def distanceJoin(eps: Double, probeMod: Int): String = {
@@ -251,6 +286,42 @@ object OracleSql {
     }.mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(1, len(t) - ${k - 2}), i -> $concat))"
   }
+
+  /** Repetition-ratio oracle — twin of [[graft.ops.TextOps.repetition]]:
+    * total windows vs distinct windows, BIGINT arithmetic + one double
+    * division (DuckDB `/` on integers is float division, same as Spark). */
+  def repetition(k: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $k),
+       |g AS (SELECT doc_id,
+       |  CAST(len(t) - ${k - 1} AS BIGINT) AS n_grams,
+       |  CAST(len(${shingleExpr(k)}) AS BIGINT) AS n_distinct
+       |  FROM d)
+       |SELECT doc_id, n_grams, n_distinct,
+       |       (n_grams - n_distinct) / n_grams AS rep_ratio
+       |FROM g""".stripMargin
+
+  /** Contamination oracle — twin of [[graft.ops.TextOps.contamination]]:
+    * benchmark = docs with doc_id % benchMod = 0; per evaluation doc, the
+    * fraction of its distinct k-gram shingles found in the benchmark's
+    * distinct shingle set. */
+  def contamination(benchMod: Long, k: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $k),
+       |sh AS (SELECT doc_id, unnest(${shingleExpr(k)}) AS s FROM d),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $benchMod = 0),
+       |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % $benchMod != 0),
+       |agg AS (
+       |  SELECT e.doc_id, count(*) AS n_grams,
+       |         sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM ev e LEFT JOIN bench b ON e.s = b.s
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(n_hit AS BIGINT) / CAST(n_grams AS BIGINT) AS contam_ratio
+       |FROM agg""".stripMargin
 
   def ngramJaccard(k: Int, threshold: Double): String =
     s"""WITH d AS (

@@ -192,6 +192,40 @@ class ImageOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ImageOps.augment(four, Seq("zoom")))
   }
 
+  test("pairIntegrity: clean table fully ok; each planted corruption caught exactly") {
+    // clean table: every row passes every check
+    val clean = ImageOps.pairIntegrity(images).collect()
+    assert(clean.length == 48 && clean.forall(_.ok))
+    // planted corruptions: everyN=4 -> n%12==0 truncated, n%12==4 caption
+    // swap, n%12==8 wrong width (48 rows -> 4 of each)
+    val planted = ImageOps.withPlantedCorruption(images, everyN = 4)
+    val got = ImageOps.pairIntegrity(planted).collect()
+      .map(r => r.image_id.stripPrefix("img").toLong -> r).toMap
+    for ((n, r) <- got) {
+      val m = n % 12
+      if (m == 0) assert(!r.decode_ok && !r.ok, s"n=$n truncated payload")
+      else if (m == 4) assert(r.decode_ok && !r.caption_ok && !r.ok, s"n=$n caption swap")
+      else if (m == 8) assert(r.decode_ok && !r.dims_ok && !r.ok, s"n=$n wrong dims")
+      else assert(r.ok && r.phash_dist == 0, s"n=$n should be clean")
+    }
+  }
+
+  test("transcodeQa: identity is MaxValue; q98 jpeg >= 40 dB; corrupt pair flagged") {
+    val idq = ImageOps.transcodeQa(images, images).collect()
+    assert(idq.length == 48 && idq.forall(r => r.ok && r.psnr_q == Long.MaxValue))
+    // high-quality re-encode keeps the lossy invariant
+    val re = ImageOps.reencodeJpeg(images, 0.98f).toDF()
+    val qa = ImageOps.transcodeQa(images, re).collect()
+    assert(qa.length == 48 && qa.forall(_.ok), // PSNR >= 40 dB per row
+      s"violations: ${qa.filterNot(_.ok).map(r => (r.image_id, r.psnr_q)).mkString(",")}")
+    assert(qa.forall(r => r.psnr_q >= 4000L))
+    // a truncated right side is flagged, not thrown
+    import spark.implicits._
+    val bad = Seq(("img000000000001", Array[Byte](1, 2, 3))).toDF("image_id", "bytes")
+    val flagged = ImageOps.transcodeQa(images, bad).collect()
+    assert(flagged.length == 1 && !flagged.head.ok && flagged.head.psnr_q == -1L)
+  }
+
   test("binaryFile source: read a directory of real image files into the pipeline") {
     val dir = Files.createTempDirectory("graft_imgs")
     for (i <- 0 until 12) {

@@ -136,6 +136,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition: matches in-memory window arithmetic; planted loop detected") {
+    import spark.implicits._
+    val k = Fixtures.repetitionK
+    // brute oracle over the fixture corpus
+    val exp = docs.select("doc_id", "text").collect().flatMap { r =>
+      val toks = r.getString(1).split(" ", -1)
+      if (toks.length < k) None
+      else {
+        val wins = toks.sliding(k).map(_.mkString(" ")).toSeq
+        Some(r.getLong(0) -> ((wins.size.toLong, wins.distinct.size.toLong)))
+      }
+    }.toMap
+    val got = TextOps.repetition(docs, k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+    // planted degenerate loop: "spam ham " * 50 → 2 distinct trigrams
+    val planted = Seq((9001L, Array.fill(50)("spam ham").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = TextOps.repetition(planted, k).collect().head
+    assert(row.getLong(1) == 98L && row.getLong(2) == 2L)
+    assert(row.getDouble(3) > 0.97)
+  }
+
+  test("contamination: planted benchmark quote is flagged; clean docs are 0") {
+    import spark.implicits._
+    val bm = Fixtures.benchMod
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L * bm, benchText),                           // the benchmark doc
+      (1L, s"noise one two three four $benchText"),    // quotes the benchmark
+      (2L, "clean words only here nothing shared at all today friend"),
+      (3L, "alpha beta gamma delta epsilon stops here then diverges fully"))
+      .toDF("doc_id", "text")
+    val got = TextOps.contamination(corpus, bm, Fixtures.contamK).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 15 tokens -> 11 5-gram windows; the 6 benchmark windows all hit
+    assert(got(1L) == ((11L, 6L)), s"got ${got(1L)}")
+    assert(got(2L)._2 == 0L)
+    // doc 3 shares exactly one 5-gram prefix with the benchmark
+    assert(got(3L)._2 == 1L)
+    // the benchmark doc itself is excluded from evaluation rows
+    assert(!got.contains(0L))
+  }
+
   test("quality/langId/tokenCount consistent with raw text") {
     val q = TextOps.quality(docs).collect()
     val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap

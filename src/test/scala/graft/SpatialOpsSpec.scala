@@ -332,4 +332,57 @@ class SpatialOpsSpec extends AnyFunSuite {
     for (i <- 0 until mbrs.length - 1)
       assert(mbrs(i)._2 <= mbrs(i + 1)._1 + 1e-12)
   }
+
+  test("rasterize == brute cell-center enumeration (JVM Poly.contains)") {
+    import graft.geo.CellId
+    val r = Fixtures.RasterRes
+    val got = SpatialOps.rasterize(spark, Fixtures.polys, r)
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+    val exp = (for {
+      (pid, p) <- Fixtures.polys
+      b = p.bbox
+      y <- CellId.cellY(b.minLat, r) to CellId.cellY(b.maxLat, r)
+      x <- CellId.cellX(b.minLon, r) to CellId.cellX(b.maxLon, r)
+      cLat = (y + 0.5) * CellId.latStep(r) - 90.0
+      cLon = (x + 0.5) * CellId.lonStep(r) - 180.0
+      if p.contains(cLat, cLon)
+    } yield (pid, y * CellId.n(r) + x)).toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+    // both fixture polygons rasterize to at least one cell
+    assert(got.map(_._1) == Set(1, 2))
+  }
+
+  test("rasterize area converges: center-sampled cell area ~ polygon area as r grows") {
+    import graft.geo.CellId
+    // center sampling is a Riemann sum of the polygon indicator: cell
+    // count x cell area must approach the true polygon area (shoelace)
+    // as the raster refines — the property that makes the raster usable
+    // as a coverage mask at any zoom level
+    for ((_, p) <- Fixtures.polys) {
+      val ring = p.ring
+      val shoelace = math.abs(ring.indices.map { i =>
+        val (y1, x1) = ring(i); val (y2, x2) = ring((i + 1) % ring.length)
+        x1 * y2 - x2 * y1
+      }.sum) / 2.0
+      for (r <- Seq(Fixtures.RasterRes, Fixtures.RasterRes + 2)) {
+        val cells = SpatialOps.rasterize(spark, Seq(1 -> p), r).count()
+        val area = cells * CellId.latStep(r) * CellId.lonStep(r)
+        val tol = if (r == Fixtures.RasterRes) 0.15 else 0.05
+        assert(math.abs(area - shoelace) / shoelace < tol,
+          s"r=$r raster area $area vs shoelace $shoelace")
+      }
+    }
+  }
+
+  test("zonalStats == brute per-polygon aggregates") {
+    val zs = SpatialOps.zonalStats(pts, Fixtures.polys).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    for ((pid, p) <- Fixtures.polys) {
+      val inside = rows.filter { case (_, la, lo) => p.contains(la, lo) }
+      assert(zs(pid)._1 == inside.length, s"cnt poly $pid")
+      assert(zs(pid)._2 == inside.map(_._1).sum, s"sum_id poly $pid")
+    }
+    assert(zs.size == Fixtures.polys.size) // one row per polygon, always
+  }
 }
