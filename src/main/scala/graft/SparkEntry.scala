@@ -76,6 +76,28 @@ object SparkEntry {
         Fixtures.boxes.head._2), "del-box1")
       store.read()._1.select(col("id"), col("lat"), col("lon"))
     }),
+    // Hilbert-curve clustering (the north star's alternative bulk-load
+    // packing key): append under curve="hilbert", read the committed
+    // snapshot back — content identity through the Hilbert layout
+    "q52_hilbert_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = tempStore("graft_q52_")
+      val store = new graft.table.SnapshotStore(s, root, curve = "hilbert")
+      store.append(Points(s, dir), "unit-all", numPartitions = 8)
+      store.read()._1.select(col("id"), col("lat"), col("lon"))
+    }),
+    // box read through Hilbert range pruning (file skip + curve-range
+    // refine is a superset; the exact predicate lands the oracle rows)
+    "q52b_hilbert_range" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = tempStore("graft_q52b_")
+      val store = new graft.table.SnapshotStore(s, root, curve = "hilbert")
+      store.append(Points(s, dir), "unit-all", numPartitions = 8)
+      val b = Fixtures.boxes.head._2
+      store.read(Some(b))._1
+        .filter(graft.geo.GeoCols.inBox(col("lat"), col("lon"), b))
+        .select(col("id"), col("lat"), col("lon"))
+    }),
     "q03_point_lookup" -> ((s, dir) => SpatialOps.pointLookup(Points(s, dir), 8L, 256L)),
     "q04_index_summary" -> ((s, dir) => SpatialOps.indexSummary(Points(s, dir), 3)),
     "q07_bulkload_leaves" -> ((s, dir) => SpatialOps.bulkloadLeaves(Points(s, dir))),
@@ -354,6 +376,10 @@ object SparkEntry {
     "q05_delete_scan" -> OracleSql.allPointsExcept(Fixtures.boxes.head._2),
     "q06_compact_scan" -> OracleSql.allPoints,
     "q03_point_lookup" -> OracleSql.pointLookup(8L, 256L),
+    // Hilbert layout: content identity + exact box slice (pruning may
+    // only change which files open, never the rows)
+    "q52_hilbert_scan" -> OracleSql.allPoints,
+    "q52b_hilbert_range" -> OracleSql.rangeBox(Fixtures.boxes.head._2),
     "q04_index_summary" -> OracleSql.indexSummary(3),
     "q07_bulkload_leaves" -> OracleSql.bulkloadLeaves(Fixtures.PackFanout),
     "q09_range_box" -> OracleSql.rangeBox(Fixtures.boxes.head._2),

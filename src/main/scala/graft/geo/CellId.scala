@@ -209,6 +209,110 @@ object CellId {
     zRangesForBox(cellY(b.minLat, r), cellY(b.maxLat, r),
       cellX(b.minLon, r), cellX(b.maxLon, r), r, maxRanges)
 
+  // ---- Hilbert curve — alternative clustering key ----
+  //
+  // The north star names "STR/Hilbert-curve bulk-load packing" explicitly.
+  // Hilbert improves on Morton for clustering: CONSECUTIVE curve positions
+  // are always grid neighbors (Chebyshev distance 1 — proven in spec),
+  // where the Z curve jumps across the grid at quadrant seams, so
+  // Hilbert-clustered files get tighter lat/lon bounding boxes and fewer
+  // covering ranges per query box. Same quadtree recursion as Morton, so
+  // the same file/row-group pruning machinery applies via
+  // [[hilbertRangesForBox]].
+
+  /** Hilbert curve position of grid cell (y, x) at resolution r — the
+    * classic iterative xy2d walk: consume one (rx, ry) quadrant bit pair
+    * per level, accumulate s²·((3rx)⊕ry), rotate/reflect the frame. */
+  def hilbertD(y: Long, x: Long, r: Int): Long = {
+    val n = 1L << r
+    var xx = x; var yy = y
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((xx & s) > 0) 1L else 0L
+      val ry = if ((yy & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate: complement is full-width (n−1−v ≡ bitwise ¬v in r bits);
+      // bits ≥ s are scrambled but never read again
+      if (ry == 0) {
+        if (rx == 1) { xx = n - 1 - xx; yy = n - 1 - yy }
+        val t = xx; xx = yy; yy = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  def hilbert(lat: Double, lon: Double, r: Int): Long =
+    hilbertD(cellY(lat, r), cellX(lon, r), r)
+
+  /** Ascending, disjoint Hilbert ranges covering the cell box
+    * [y0..y1] × [x0..x1] at resolution r — the Hilbert twin of
+    * [[zRangesForBox]], O(box perimeter) via quadtree descent. The frame
+    * state (swap + per-axis complement) tracks xy2d's rotations, so each
+    * quadrant's curve interval is computed without enumerating cells;
+    * children are visited in ascending curve order. Budget coalescing as
+    * in [[zRangesForBox]] (superset covering stays a valid prune). */
+  def hilbertRangesForBox(y0: Long, y1: Long, x0: Long, x1: Long, r: Int,
+                          maxRanges: Int = 512): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def emit(lo: Long, hi: Long): Unit =
+      if (out.nonEmpty && out.last._2 + 1 == lo)
+        out(out.length - 1) = (out.last._1, hi)
+      else out += ((lo, hi))
+    // state: working coords (xw, yw) relate to quadrant-local grid coords
+    // (xl, yl) by xw = cx ⊕ (sw ? yl : xl), yw = cy ⊕ (sw ? xl : yl)
+    def rec(level: Int, y: Long, x: Long, base: Long,
+            sw: Boolean, cx: Boolean, cy: Boolean): Unit = {
+      val shift = r - level
+      val cy0 = y << shift; val cy1 = cy0 + (1L << shift) - 1
+      val cx0 = x << shift; val cx1 = cx0 + (1L << shift) - 1
+      if (cy1 < y0 || cy0 > y1 || cx1 < x0 || cx0 > x1) ()          // disjoint
+      else if (cy0 >= y0 && cy1 <= y1 && cx0 >= x0 && cx1 <= x1)    // contained
+        emit(base, base + (1L << (2 * shift)) - 1)
+      else {
+        // children in ascending curve order: q = (3·bx) ⊕ by
+        var q = 0
+        while (q < 4) {
+          val bx = if (q == 2 || q == 3) 1 else 0                   // invert q → (bx, by)
+          val by = if (q == 1 || q == 2) 1 else 0
+          // grid-frame child bits from working-frame (bx, by)
+          val dx = (if (sw) by ^ (if (cy) 1 else 0) else bx ^ (if (cx) 1 else 0)).toLong
+          val dy = (if (sw) bx ^ (if (cx) 1 else 0) else by ^ (if (cy) 1 else 0)).toLong
+          // child state = rot(bx, by) ∘ current
+          var nsw = sw; var ncx = cx; var ncy = cy
+          if (by == 0) {
+            if (bx == 1) { ncx = !ncx; ncy = !ncy }
+            val t = ncx; ncx = ncy; ncy = t; nsw = !nsw
+          }
+          rec(level + 1, 2 * y + dy, 2 * x + dx,
+            base + q.toLong * (1L << (2 * (shift - 1))), nsw, ncx, ncy)
+          q += 1
+        }
+      }
+    }
+    if (y1 >= y0 && x1 >= x0) rec(0, 0, 0, 0L, sw = false, cx = false, cy = false)
+    if (out.size <= maxRanges) out.toSeq
+    else {
+      val gaps = out.sliding(2).map(p => p(1)._1 - p(0)._2).toArray.sorted
+      val cut = gaps(out.size - maxRanges - 1)
+      val merged = scala.collection.mutable.ArrayBuffer(out.head)
+      var budgetLeft = out.size - maxRanges
+      out.drop(1).foreach { nxt =>
+        val gap = nxt._1 - merged.last._2
+        if (gap <= cut && budgetLeft > 0) {
+          merged(merged.length - 1) = (merged.last._1, nxt._2); budgetLeft -= 1
+        } else merged += nxt
+      }
+      merged.toSeq
+    }
+  }
+
+  /** Hilbert ranges covering the cells intersecting a lat/lon box. */
+  def hilbertRangesForMbr(b: MBR, r: Int, maxRanges: Int = 512): Seq[(Long, Long)] =
+    hilbertRangesForBox(cellY(b.minLat, r), cellY(b.maxLat, r),
+      cellX(b.minLon, r), cellX(b.maxLon, r), r, maxRanges)
+
   /** Choose a resolution so the expected rows-per-cell lands near
     * `targetRowsPerCell` — the adaptive-resolution pick from the north
     * star. At 10¹² rows and target 10⁵, this lands at r≈12. */

@@ -50,6 +50,38 @@ object GeoCols {
     shiftleft(spread(y), 1).bitwiseOR(spread(x))
   }
 
+  /** Append a Hilbert-curve clustering key column ([[CellId.hilbertD]]
+    * twin) — the alternative bulk-load packing key the north star names
+    * next to STR. A DataFrame-level builder rather than a single Column:
+    * the xy2d walk mutates (x, y) each level, and materializing the
+    * working coords as named per-level columns keeps every level's
+    * expressions evaluated ONCE inside whole-stage codegen (a single
+    * nested Column would re-expand the mutated coords ~6× per level —
+    * the janino-blowup shape). Spark's CollapseProject keeps the
+    * projections separate because the per-level conditionals are
+    * non-cheap; bit-parity with the JVM walk is spec-pinned. */
+  def withHilbert(df: org.apache.spark.sql.DataFrame, lat: Column, lon: Column,
+                  r: Int, out: String): org.apache.spark.sql.DataFrame = {
+    val n = CellId.n(r)
+    var cur = df
+      .withColumn("__hx", clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), r))
+      .withColumn("__hy", clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), r))
+      .withColumn("__hd", lit(0L))
+    for (i <- r - 1 to 0 by -1) {
+      val s = 1L << i
+      val rx = shiftright(col("__hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), i).bitwiseAND(lit(1L))
+      val d = col("__hd") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // rot: when ry==0, complement on rx==1 then swap axes
+      val nx = when(ry === 1L, col("__hx"))
+        .otherwise(when(rx === 1L, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+      val ny = when(ry === 1L, col("__hy"))
+        .otherwise(when(rx === 1L, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+      cur = cur.withColumns(Map("__hd" -> d, "__hx" -> nx, "__hy" -> ny))
+    }
+    cur.withColumn(out, col("__hd")).drop("__hd", "__hx", "__hy")
+  }
+
   /** Pruning predicate from a Z-range covering ([[CellId.zRangesForBox]]):
     * a bounded disjunction of BETWEEN conjuncts over a MATERIALIZED Morton
     * column (a stored table's `__z` sort key — parquet min/max row-group

@@ -47,7 +47,28 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   */
 final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
                           histRes: Int = 8,
-                          bloomKey: Option[String] = None) {
+                          bloomKey: Option[String] = None,
+                          curve: String = "z") {
+
+  require(curve == "z" || curve == "hilbert",
+    s"unknown clustering curve '$curve' (want z | hilbert)")
+
+  /** Materialize the clustering key for this store's curve. Morton is the
+    * default; Hilbert (north star: "STR/Hilbert-curve bulk-load packing")
+    * keeps consecutive key values grid-adjacent, so files get tighter
+    * lat/lon bounds and fewer covering ranges per box. The curve is a
+    * WRITE-TIME property of the table: open an existing table with the
+    * curve it was written with (the key and its pruning ranges must
+    * agree; content correctness is curve-independent, spec-pinned). */
+  private def withCurveKey(df: DataFrame): DataFrame = curve match {
+    case "hilbert" => GeoCols.withHilbert(df, col("lat"), col("lon"), zRes, "__z")
+    case _         => df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
+  }
+
+  private def curveRangesForMbr(b: MBR): Seq[(Long, Long)] = curve match {
+    case "hilbert" => CellId.hilbertRangesForMbr(b, zRes, maxRanges = 64)
+    case _         => CellId.zRangesForMbr(b, zRes, maxRanges = 64)
+  }
 
   private val metaDir = Paths.get(root, "meta")
   private val currentPtr = metaDir.resolve("current")
@@ -173,7 +194,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val unitDir = s"$root/data/$lineageId-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
+    withCurveKey(df)
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
@@ -431,7 +452,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b)),
       refine = df => box match {
         case Some(b) =>
-          val ranges = CellId.zRangesForMbr(b, zRes, maxRanges = 64)
+          val ranges = curveRangesForMbr(b)
           df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
         case None => df
       })
@@ -552,7 +573,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // its commit must not wedge every retry on ErrorIfExists
     val unitDir = s"$root/data/compact-${base + 1}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
+    withCurveKey(df)
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)

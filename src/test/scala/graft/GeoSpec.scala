@@ -188,4 +188,74 @@ class GeoSpec extends AnyFunSuite {
     assert(CellId.pickResolution(1000000000000L, 100000L) >= 10)
     assert(CellId.pickResolution(60000L, 100L) <= 6)
   }
+
+  test("hilbertD: bijection, and consecutive positions are always grid-adjacent") {
+    for (r <- Seq(2, 3, 5)) {
+      val hi = CellId.n(r) - 1
+      val cells = for (y <- 0L to hi; x <- 0L to hi) yield (CellId.hilbertD(y, x, r), (y, x))
+      val byD = cells.toMap
+      assert(byD.size == (hi + 1) * (hi + 1))                  // bijective
+      assert(byD.keys.min == 0L && byD.keys.max == (hi + 1) * (hi + 1) - 1)
+      // THE Hilbert property Morton lacks: curve step == one grid step
+      for (d <- 0L until byD.keys.max) {
+        val (y1, x1) = byD(d); val (y2, x2) = byD(d + 1)
+        assert(math.abs(y1 - y2) + math.abs(x1 - x2) == 1, s"r=$r d=$d")
+      }
+    }
+    // Morton violates adjacency at quadrant seams (documents why Hilbert
+    // clusters tighter): count the violations to prove the contrast
+    val r = 5; val hi = CellId.n(r) - 1
+    val mByD = (for (y <- 0L to hi; x <- 0L to hi) yield (CellId.morton(y, x), (y, x))).toMap
+    val mortonJumps = (0L until mByD.keys.max).count { d =>
+      val (y1, x1) = mByD(d); val (y2, x2) = mByD(d + 1)
+      math.abs(y1 - y2) + math.abs(x1 - x2) > 1
+    }
+    assert(mortonJumps > 300) // 1023 steps, ~1/3 jump
+  }
+
+  test("hilbertRangesForBox covers exactly the box's cells (ascending, disjoint)") {
+    val r0 = rng
+    for (r <- Seq(3, 5); _ <- 1 to 20) {
+      val hi = CellId.n(r) - 1
+      val y0 = math.abs(r0.nextLong()) % (hi + 1); val y1 = math.min(hi, y0 + math.abs(r0.nextLong()) % 7)
+      val x0 = math.abs(r0.nextLong()) % (hi + 1); val x1 = math.min(hi, x0 + math.abs(r0.nextLong()) % 7)
+      val ranges = CellId.hilbertRangesForBox(y0, y1, x0, x1, r)
+      ranges.sliding(2).foreach { case Seq((_, h), (l, _)) => assert(h + 1 < l) case _ => () }
+      val inRanges = (d: Long) => ranges.exists { case (lo, hiR) => d >= lo && d <= hiR }
+      for (y <- 0L to hi; x <- 0L to hi) {
+        val inBox = y >= y0 && y <= y1 && x >= x0 && x <= x1
+        assert(inRanges(CellId.hilbertD(y, x, r)) == inBox,
+          s"r=$r box=($y0..$y1,$x0..$x1) cell=($y,$x)")
+      }
+    }
+  }
+
+  test("hilbertRangesForBox maxRanges coalesce stays a superset covering") {
+    val r = 8
+    val ranges = CellId.hilbertRangesForBox(10, 200, 17, 230, r, maxRanges = 16)
+    assert(ranges.size <= 16)
+    val r0 = rng
+    for (_ <- 1 to 2000) {
+      val y = 10 + math.abs(r0.nextLong()) % 191
+      val x = 17 + math.abs(r0.nextLong()) % 214
+      val d = CellId.hilbertD(y, x, r)
+      assert(ranges.exists { case (lo, hi) => d >= lo && d <= hi })
+    }
+  }
+
+  test("hilbert needs fewer covering ranges than morton (the clustering win)") {
+    val r = 10
+    val r0 = rng
+    var hTotal = 0L; var zTotal = 0L
+    for (_ <- 1 to 30) {
+      val hi = CellId.n(r) - 1
+      val y0 = math.abs(r0.nextLong()) % (hi - 100)
+      val x0 = math.abs(r0.nextLong()) % (hi - 100)
+      val (y1, x1) = (y0 + 60 + math.abs(r0.nextLong()) % 40,
+        x0 + 60 + math.abs(r0.nextLong()) % 40)
+      hTotal += CellId.hilbertRangesForBox(y0, y1, x0, x1, r, maxRanges = 1 << 20).size
+      zTotal += CellId.zRangesForBox(y0, y1, x0, x1, r, maxRanges = 1 << 20).size
+    }
+    assert(hTotal < zTotal, s"hilbert $hTotal vs morton $zTotal")
+  }
 }
