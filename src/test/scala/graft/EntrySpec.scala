@@ -45,7 +45,11 @@ class EntrySpec extends AnyFunSuite {
     assert(rowsOnly == Set("q26_simhash", "q27_fingerprint",
       "q40_image_decode", "q41_image_embed", "q42_image_resize",
       "q44_frame_sample", "q45_audio_features",
-      "q47_image_crop", "q48_image_augment"),
+      "q47_image_crop", "q48_image_augment",
+      // integrity checks: the kernels (decode, phash, PSNR) ARE the whole
+      // dataflow — q51b's only join is the trivial image_id equality that
+      // feeds the PSNR kernel; planted-corruption exactness is spec-pinned
+      "q51_pair_integrity", "q51b_transcode_qa"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
