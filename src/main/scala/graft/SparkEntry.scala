@@ -123,6 +123,9 @@ object SparkEntry {
     // raster↔vector zonal statistics: per-polygon aggregates of the cloud
     "q19b_zonal_stats" -> ((s, dir) =>
       SpatialOps.zonalStats(Points(s, dir), Fixtures.polys)),
+    // polygons-as-data rasterization (the thousands-of-polygons scale
+    // path) — identical output, same oracle as q19
+    "q19c_rasterize_many" -> ((s, _) => SpatialOps.rasterizeMany(s, Fixtures.polys)),
     "q18_distance_join" -> ((s, dir) => SpatialOps.distanceJoin(Points(s, dir),
       Fixtures.distEps, Fixtures.distProbeMod)),
     // --- training-data pipeline ops over documents/embeddings/events ---
@@ -396,6 +399,7 @@ object SparkEntry {
     "q16b_tile_pyramid" -> OracleSql.tilePyramid(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
     "q19_rasterize" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
+    "q19c_rasterize_many" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
     "q19b_zonal_stats" -> OracleSql.zonalStats(Fixtures.polys),
     "q18_distance_join" -> OracleSql.distanceJoin(Fixtures.distEps, Fixtures.distProbeMod),
     "q20_token_count" -> OracleSql.tokenCount,

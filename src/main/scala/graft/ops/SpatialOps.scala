@@ -323,6 +323,53 @@ object SpatialOps {
     }.reduce(_ unionAll _)
   }
 
+  /** Many-polygon rasterization (the scale path when polygons number in
+    * the thousands — the [[pipJoinBroadcast]] twin of [[rasterize]]):
+    * polygons as DATA rows (poly_id, ring array, bbox cell bounds),
+    * candidate cells generated data-side with two explode(sequence(...))
+    * levels (rows then cols — fan-out per intermediate row stays one bbox
+    * edge, never the full area), refined by the same even–odd crossing
+    * test over the ring ARRAY as the broadcast PIP join. One narrow
+    * pipeline regardless of polygon count; at scale the polygon table
+    * arrives partitioned and the raster parallelizes with it. Exact same
+    * output as [[rasterize]] (spec + shared oracle). */
+  def rasterizeMany(spark: org.apache.spark.sql.SparkSession,
+                    polys: Seq[(Int, Poly)],
+                    r: Int = Fixtures.RasterRes): DataFrame = {
+    import spark.implicits._
+    val polyRows = polys.map { case (pid, p) =>
+      val b = p.bbox
+      (pid, p.ring.map { case (la, lo) => (la, lo) },
+        CellId.cellY(b.minLat, r), CellId.cellY(b.maxLat, r),
+        CellId.cellX(b.minLon, r), CellId.cellX(b.maxLon, r))
+    }
+    val polysDf = polyRows.toDF("poly_id", "ring", "y0", "y1", "x0", "x1")
+      .repartition(spark.sparkContext.defaultParallelism, col("poly_id"))
+    val cLat = (col("y").cast("double") + lit(0.5)) * lit(CellId.latStep(r)) - lit(90.0)
+    val cLon = (col("x").cast("double") + lit(0.5)) * lit(CellId.lonStep(r)) - lit(180.0)
+    polysDf
+      .withColumn("y", explode(sequence(col("y0"), col("y1"))))
+      .withColumn("x", explode(sequence(col("x0"), col("x1"))))
+      .filter(ringCrossings(cLat, cLon) % 2 === 1)
+      .select(col("poly_id"), (col("y") * lit(CellId.n(r)) + col("x")).as("cell"))
+  }
+
+  /** Even–odd crossing count of a data-side polygon `ring` column
+    * (array<struct<lat,lon>>) against a point expression — shared by the
+    * broadcast PIP join and many-polygon rasterization. HOF lambdas run
+    * interpreted; acceptable here because the candidate row count is
+    * already pruned (covering cells / bbox area), never the corpus. */
+  private def ringCrossings(latC: Column, lonC: Column): Column = {
+    val n = size(col("ring"))
+    def vy(i: Column) = element_at(col("ring"), i).getField("_1")
+    def vx(i: Column) = element_at(col("ring"), i).getField("_2")
+    size(filter(sequence(lit(1), n), i => {
+      val j = when(i === 1, n).otherwise(i - 1)
+      ((vy(i) > latC) =!= (vy(j) > latC)) &&
+        (lonC < (vx(j) - vx(i)) * (latC - vy(i)) / (vy(j) - vy(i)) + vx(i))
+    }))
+  }
+
   /** Zonal statistics (raster↔vector analytics): per-polygon aggregates of
     * the points inside — count, exact integer id-sum, and the bounding
     * range of matched coordinates. Same covering-cell prune + ray-crossing
@@ -447,19 +494,12 @@ object SpatialOps {
       CellId.coverPoly(p, r).map(c => (pid, c, ring))
     }
     val polysDf = polyRows.toDF("poly_id", "pcell", "ring")
-    val n = size(col("ring"))
     // edge i pairs ring[i+1] with ring[i] (1-based element_at), wrapping
-    // the last edge to ring[1]; identical arithmetic to Poly.contains.
-    def vy(i: Column) = element_at(col("ring"), i).getField("_1")
-    def vx(i: Column) = element_at(col("ring"), i).getField("_2")
-    val crossings = size(filter(sequence(lit(1), n), i => {
-      val j = when(i === 1, n).otherwise(i - 1)
-      ((vy(i) > col("lat")) =!= (vy(j) > col("lat"))) &&
-        (col("lon") < (vx(j) - vx(i)) * (col("lat") - vy(i)) / (vy(j) - vy(i)) + vx(i))
-    }))
+    // the last edge to ring[1]; identical arithmetic to Poly.contains
+    // (ringCrossings — shared with rasterizeMany).
     withCell(points, r)
       .join(broadcast(polysDf), col("cell") === col("pcell"))
-      .filter(crossings % 2 === 1)
+      .filter(ringCrossings(col("lat"), col("lon")) % 2 === 1)
       .select(col("poly_id"), col("id"))
   }
 

@@ -83,4 +83,28 @@ class IndexSpec extends AnyFunSuite {
       assert(got == exp, s"q=($qla,$qlo) k=$k")
     }
   }
+
+  test("hilbert-packed index: same content, exact kNN, root MBRs no wider than morton") {
+    val (hClustered, hGi) = GlobalIndex.build(pts, r = 10, numPartitions = 8,
+      curve = "hilbert")
+    // identical multiset of rows through the alternative packing
+    val hRows = hClustered.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(hRows.sorted.toSeq == rows.sorted.toSeq)
+    // exact kNN through the hilbert-packed index
+    val (qla, qlo, k) = (12.345, -67.89, 25)
+    val exp = rows.map { case (id, la, lo) =>
+      (id, (la - qla) * (la - qla) + (lo - qlo) * (lo - qlo))
+    }.sortBy { case (id, d2) => (d2, id) }.take(k).map(_._1).toSeq
+    val got = GlobalIndex.knnIndexed(hClustered, hGi, qla, qlo, k)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == exp)
+    // the clustering-quality claim, measured: total root-MBR area of the
+    // hilbert packing is no worse than the morton packing on this cloud
+    def area(gi: GlobalIndex) = gi.parts.filter(_.count > 0).map { p =>
+      (p.root.mbr.maxLat - p.root.mbr.minLat) * (p.root.mbr.maxLon - p.root.mbr.minLon)
+    }.sum
+    assert(area(hGi) <= area(built._2) * 1.05,
+      s"hilbert root area ${area(hGi)} vs morton ${area(built._2)}")
+    hClustered.unpersist(false)
+  }
 }

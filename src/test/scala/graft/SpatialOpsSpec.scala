@@ -375,6 +375,16 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rasterizeMany (polygons-as-data) == rasterize (literal plans)") {
+    for (r <- Seq(Fixtures.RasterRes, Fixtures.RasterRes + 1)) {
+      val lit = SpatialOps.rasterize(spark, Fixtures.polys, r)
+        .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      val many = SpatialOps.rasterizeMany(spark, Fixtures.polys, r)
+        .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      assert(many == lit, s"r=$r")
+    }
+  }
+
   test("zonalStats == brute per-polygon aggregates") {
     val zs = SpatialOps.zonalStats(pts, Fixtures.polys).collect()
       .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
