@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   *  1. warm up with a FIXED cheap query (q03) — warming `queries.head` of
   *     an unordered Map made the absorbed JIT/codegen warmup differ
   *     between rounds;
-  *  2. measure the image-table and synthetic-cloud headlines FIRST, in a
-  *     near-fresh session — measuring them after 48 queries understated
-  *     the image headline ~2× (accrued memory-sink tables + caches);
+  *  2. measure the image-table and synthetic-cloud headlines in FRESH
+  *     child JVMs (childLeg) — in-session measurement biased the numbers
+  *     in both directions (round 2: headline understated ~2× by accrued
+  *     session state; round 3: the 100M-row pass taxed the sweep that
+  *     followed it, one q05 median hit 93 s at 4 cores);
   *  3. run every driver query `Reps` times and report the per-query
   *     MEDIAN, clearing session caches and temp views between queries so
   *     one query's leftovers never tax the next.
@@ -24,12 +26,15 @@ object Bench {
       .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
   }
 
-  /** One fresh-JVM leg of the N-vs-4N scaling protocol, run as a child
-    * `java` process (the in-JSON analog of tools/scaling.sh): a leg MUST
-    * NOT share a JVM with the other leg or with this session — back-to-back
-    * single-JVM legs carry multi-× JIT/GC ordering bias (measured round 1).
-    * Returns the leg's rows/sec, or -1 if the child failed. */
-  private def scalingLeg(cpus: Int, rows: Long, iters: Int = 2): Double = {
+  /** Run a one-JSON-line benchmark main in a FRESH child JVM and return
+    * its reported `value`, or -1 if the child failed. Fresh JVMs are the
+    * protocol for every headline number: in-session measurements carry
+    * multi-× JIT/GC/page-cache ordering bias in BOTH directions — they
+    * mis-measure themselves (round 2's phantom image-headline regression)
+    * and tax the queries that run after them (a 93 s q05 outlier when the
+    * 100M-row pass preceded the sweep in one 4-core session). */
+  private def childLeg(mainClass: String, cpus: Int,
+                       env: Map[String, String]): Double = {
     val classes =
       try new java.io.File(graft.bench.ScalingBench.getClass
         .getProtectionDomain.getCodeSource.getLocation.toURI).getPath
@@ -39,10 +44,9 @@ object Bench {
       .defaultModuleOptions().split("\\s+").toSeq
     val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
       "-Xmx16g", "-cp", s"$classes:/opt/spark/jars/*",
-      "graft.bench.ScalingBench", cpus.toString)
+      mainClass, cpus.toString)
     val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_GRAFT_SCALE_ROWS", rows.toString)
-    pb.environment().put("SPARK_GRAFT_SCALE_ITERS", iters.toString)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(false)
     val p = pb.start()
     // drain stderr (Spark logs) so the child can't block on a full pipe
@@ -56,6 +60,11 @@ object Bench {
       out.linesIterator.filter(_.contains("\"metric\"")).mkString("\n")).toSeq
     if (code == 0 && m.nonEmpty) m.last.group(1).toDouble else -1.0
   }
+
+  private def scalingLeg(cpus: Int, rows: Long, iters: Int = 2): Double =
+    childLeg("graft.bench.ScalingBench", cpus, Map(
+      "SPARK_GRAFT_SCALE_ROWS" -> rows.toString,
+      "SPARK_GRAFT_SCALE_ITERS" -> iters.toString))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,20 +80,27 @@ object Bench {
     catch { case _: Throwable => () }
     // headline: spatial-join + tile-assignment rows/sec over the staged
     // image table (BASELINE.json metric); rows overridable via
-    // SPARK_GRAFT_BENCH_ROWS. Measured BEFORE the query sweep.
+    // SPARK_GRAFT_BENCH_ROWS. The parent only STAGES the table; the
+    // measurement runs in a fresh child JVM (childLeg docstring: in-
+    // session headline measurements bias both themselves and the sweep)
     val (hRows, hRps) =
       try {
-        val path = graft.bench.Headline.stage(spark, graft.bench.Headline.defaultRows)
-        graft.bench.Headline.measure(graft.bench.Headline.imagePoints(spark, path))
-      } catch { case _: Throwable => (0L, 0.0) }
+        graft.bench.Headline.stage(spark, graft.bench.Headline.defaultRows)
+        (graft.bench.Headline.defaultRows,
+          childLeg("graft.bench.ImageHeadlineBench", cpus.toInt, Map(
+            "SPARK_GRAFT_BENCH_ROWS" -> graft.bench.Headline.defaultRows.toString)))
+      } catch { case _: Throwable => (0L, -1.0) }
     // storage-free scale measurement: the same pipeline over a 100M-row
-    // deterministic point cloud (operator throughput with the scheduler
-    // floor amortized; the N-vs-4N efficiency protocol is tools/scaling.sh)
+    // deterministic point cloud — also a fresh child JVM (the N-vs-4N
+    // efficiency protocol below / tools/scaling.sh is the authoritative
+    // scaling number; this is the single-level throughput headline)
+    // 3e8 rows: a fresh JVM needs multi-second passes or the first-pass
+    // JIT tax leaks into the median (1e8 at 32 threads is ~1 s/pass)
     val (sRows, sRps) =
-      try {
-        val pts = graft.data.Synth.pointCloud(spark, 100000000L)
-        graft.bench.Headline.measure(pts)
-      } catch { case _: Throwable => (0L, 0.0) }
+      try (300000000L, childLeg("graft.bench.ScalingBench", cpus.toInt, Map(
+        "SPARK_GRAFT_SCALE_ROWS" -> "300000000",
+        "SPARK_GRAFT_SCALE_ITERS" -> "3")))
+      catch { case _: Throwable => (0L, -1.0) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()

@@ -126,6 +126,9 @@ object SparkEntry {
     // polygons-as-data rasterization (the thousands-of-polygons scale
     // path) — identical output, same oracle as q19
     "q19c_rasterize_many" -> ((s, _) => SpatialOps.rasterizeMany(s, Fixtures.polys)),
+    // polygons-as-data zonal stats (broadcast join + partial agg)
+    "q19d_zonal_many" -> ((s, dir) =>
+      SpatialOps.zonalStatsMany(Points(s, dir), Fixtures.polys)),
     "q18_distance_join" -> ((s, dir) => SpatialOps.distanceJoin(Points(s, dir),
       Fixtures.distEps, Fixtures.distProbeMod)),
     // --- training-data pipeline ops over documents/embeddings/events ---
@@ -400,6 +403,9 @@ object SparkEntry {
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
     "q19_rasterize" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
     "q19c_rasterize_many" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
+    // same oracle as q19b: both fixture zones are non-empty, where the
+    // literal and join variants agree by construction
+    "q19d_zonal_many" -> OracleSql.zonalStats(Fixtures.polys),
     "q19b_zonal_stats" -> OracleSql.zonalStats(Fixtures.polys),
     "q18_distance_join" -> OracleSql.distanceJoin(Fixtures.distEps, Fixtures.distProbeMod),
     "q20_token_count" -> OracleSql.tokenCount,

@@ -396,6 +396,31 @@ object SpatialOps {
     }.reduce(_ unionAll _)
   }
 
+  /** Many-polygon zonal statistics (the [[pipJoinBroadcast]]-shaped scale
+    * path of [[zonalStats]]): polygons as broadcast DATA, one corpus scan,
+    * partial aggregation on the poly_id key — the exchange carries one row
+    * per polygon per partition. Unlike the literal-plan variant, empty
+    * zones produce NO row (a join cannot manufacture them); callers
+    * needing the every-polygon contract outer-join the polygon table. */
+  def zonalStatsMany(points: DataFrame, polys: Seq[(Int, Poly)],
+                     rOverride: Int = AutoRes): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val r = resolveRes(points, polys.map(_._2.bbox), rOverride)
+    val polyRows = polys.flatMap { case (pid, p) =>
+      val ring = p.ring.map { case (la, lo) => (la, lo) }
+      CellId.coverPoly(p, r).map(c => (pid, c, ring))
+    }
+    val polysDf = polyRows.toDF("poly_id", "pcell", "ring")
+    withCell(points, r)
+      .join(broadcast(polysDf), col("cell") === col("pcell"))
+      .filter(ringCrossings(col("lat"), col("lon")) % 2 === 1)
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"),
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+        min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"))
+  }
+
   /** Skew-aware box join for shuffle-partitioned execution: when the small
     * side does NOT fit in a broadcast (huge box/polygon sets), the join
     * shuffles both sides on the cell key and hot cells (a Zipf point cloud,

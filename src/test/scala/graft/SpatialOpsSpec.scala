@@ -395,4 +395,19 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
     assert(zs.size == Fixtures.polys.size) // one row per polygon, always
   }
+
+  test("zonalStatsMany == zonalStats on non-empty zones; empty zones absent") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+    val lit = SpatialOps.zonalStats(pts, Fixtures.polys).collect().map(key).toSet
+    val many = SpatialOps.zonalStatsMany(pts, Fixtures.polys).collect().map(key).toSet
+    assert(many == lit)
+    // a polygon holding no points: literal variant emits the cnt=0 row,
+    // join variant emits nothing — the documented contract difference
+    val empty = Seq(99 -> graft.geo.Poly(Vector(
+      (89.990, 179.990), (89.990, 179.999), (89.999, 179.999), (89.999, 179.990))))
+    assert(SpatialOps.zonalStats(pts, empty).collect().map(_.getLong(1)).toSeq == Seq(0L))
+    assert(SpatialOps.zonalStatsMany(pts, empty).isEmpty)
+  }
 }
