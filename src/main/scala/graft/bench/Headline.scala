@@ -110,6 +110,18 @@ object ImageHeadlineBench {
   * and GC state cannot bleed between legs — a single-JVM back-to-back
   * comparison showed a multi-x ordering bias. */
 object ScalingBench {
+
+  /** (total, steal) jiffies from the aggregate /proc/stat cpu line — the
+    * hypervisor-steal share measured ACROSS a leg turns "the host was
+    * noisy" from a guess into a published number. (-1, -1) off-Linux. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val parts = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+      (parts.sum, parts(7))
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SCALE_CPUS"))
       .getOrElse("32").toInt
@@ -120,8 +132,12 @@ object ScalingBench {
     // iters override: the multi-pair in-bench protocol medians ACROSS leg
     // JVMs (where the variance lives), so it trims the in-JVM reps
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
+    val (t0, s0) = cpuStat()
     val (rows, rps) = Headline.measure(pts, iters)
+    val (t1, s1) = cpuStat()
+    val stealPct =
+      if (t1 > t0 && s0 >= 0) 100.0 * (s1 - s0) / (t1 - t0) else -1.0
     s.stop()
-    println(f"""{"metric":"headline_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","cpus":$cpus,"rows":$rows}""")
+    println(f"""{"metric":"headline_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","cpus":$cpus,"rows":$rows,"steal_pct":$stealPct%.2f}""")
   }
 }

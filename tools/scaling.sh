@@ -5,30 +5,43 @@
 # 32-thread point saturates memory bandwidth shared across all cores (a
 # single-box artifact; on a real 4x-executor cluster each node brings its
 # own bandwidth). 8/32 numbers are reported alongside in BASELINE.md.
-# Usage: tools/scaling.sh [rows]
+#
+# PAIRS back-to-back legs per sample: host (hypervisor-neighbor)
+# throughput varies on a minutes timescale, so the efficiency estimator
+# is the MEDIAN OF PER-PAIR efficiencies — each pair's two legs share one
+# noise regime; ratioing per-level medians across pairs can compare a
+# fast-window 4c leg with a slow-window 16c leg (measured bias: pair
+# efficiencies 0.88/0.84/0.61 vs a 0.62 cross-pair level-median ratio).
+# Usage: tools/scaling.sh [rows] [pairs]
 set -e
 cd "$(dirname "$0")/.."
 ROWS="${1:-1000000000}"
+PAIRS="${2:-3}"
 export SPARK_GRAFT_SCALE_ROWS="$ROWS"
 OUT=/tmp/graft_scaling
 mkdir -p "$OUT"
 sbt -batch package > /dev/null
 JAR=target/scala-2.13/r_star_treespark_2.13-0.1.0.jar
-for CPUS in 16 4; do
-  /opt/spark/bin/spark-submit --master "local[$CPUS]" \
-    --driver-memory "${SPARK_DRIVER_MEM:-16g}" \
-    --conf spark.ui.enabled=false \
-    --class graft.bench.ScalingBench "$JAR" "$CPUS" 2>/dev/null \
-    | grep '"metric"' | tail -1 > "$OUT/leg_$CPUS.json"
-  cat "$OUT/leg_$CPUS.json"
+for P in $(seq 1 "$PAIRS"); do
+  for CPUS in 4 16; do
+    /opt/spark/bin/spark-submit --master "local[$CPUS]" \
+      --driver-memory "${SPARK_DRIVER_MEM:-16g}" \
+      --conf spark.ui.enabled=false \
+      --class graft.bench.ScalingBench "$JAR" "$CPUS" 2>/dev/null \
+      | grep '"metric"' | tail -1 > "$OUT/leg_${CPUS}_p${P}.json"
+    cat "$OUT/leg_${CPUS}_p${P}.json"
+  done
 done
-python3 - "$OUT" <<'EOF'
-import json, sys
-out = sys.argv[1]
-r4 = json.load(open(f"{out}/leg_4.json"))
-r16 = json.load(open(f"{out}/leg_16.json"))
-eff = (r16["value"] / r4["value"]) / 4.0
-print(json.dumps({"metric": "scaling_efficiency", "value": round(eff, 4),
-  "unit": "ratio", "rows": r4["rows"],
-  "local4_rows_per_sec": r4["value"], "local16_rows_per_sec": r16["value"]}))
+python3 - "$OUT" "$PAIRS" <<'EOF'
+import json, sys, statistics
+out, pairs = sys.argv[1], int(sys.argv[2])
+effs, l4, l16 = [], [], []
+for p in range(1, pairs + 1):
+    a = json.load(open(f"{out}/leg_4_p{p}.json"))["value"]
+    b = json.load(open(f"{out}/leg_16_p{p}.json"))["value"]
+    l4.append(a); l16.append(b); effs.append((b / a) / 4.0)
+print(json.dumps({"metric": "scaling_efficiency", "unit": "ratio",
+  "value": round(statistics.median(effs), 4),
+  "pair_efficiencies": [round(e, 4) for e in effs],
+  "local4_rows_per_sec": l4, "local16_rows_per_sec": l16}))
 EOF
