@@ -61,4 +61,30 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(AnnOps.annLsh(noEmb, Seq(0), 5).count() == 0)
     assert(AnnOps.annIvf(noEmb, Seq(0), 5).count() == 0)
   }
+
+  test("raster/zonal/integrity/text additions: degenerate inputs never crash") {
+    // polygon smaller than any cell center spacing -> empty raster, no error
+    val sliver = Seq(1 -> graft.geo.Poly(Vector(
+      (0.0001, 0.0001), (0.0001, 0.0002), (0.0002, 0.0002))))
+    assert(SpatialOps.rasterize(spark, sliver, r = 4).count() == 0)
+    assert(SpatialOps.rasterizeMany(spark, sliver, r = 4).count() == 0)
+    // zonal over empty points: literal variant keeps the one-row contract
+    val z = SpatialOps.zonalStats(noPts, Fixtures.polys).collect()
+    assert(z.length == Fixtures.polys.size && z.forall(_.getLong(1) == 0L))
+    assert(SpatialOps.zonalStatsMany(noPts, Fixtures.polys).count() == 0)
+    // contamination with an empty benchmark slice (no doc_id % mod == 0):
+    // every doc evaluates, zero hits
+    val docs = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n")).toDF("doc_id", "text")
+    val c = TextOps.contamination(docs, benchMod = 97L, k = 5).collect()
+    assert(c.length == 2 && c.forall(_.getLong(2) == 0L))
+    // repetition: docs shorter than k drop; empty table is empty
+    assert(TextOps.repetition(Seq((1L, "a b")).toDF("doc_id", "text"), 3).count() == 0)
+    assert(TextOps.repetition(noDocs, 3).count() == 0)
+    assert(TextOps.contamination(noDocs).count() == 0)
+    // integrity ops on an empty image table
+    val noImgs = Seq.empty[(String, Array[Byte], Int, Int, String, String, Long)]
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    assert(graft.ops.ImageOps.pairIntegrity(noImgs).count() == 0)
+    assert(graft.ops.ImageOps.transcodeQa(noImgs, noImgs).count() == 0)
+  }
 }
