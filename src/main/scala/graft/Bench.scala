@@ -83,24 +83,27 @@ object Bench {
     // SPARK_GRAFT_BENCH_ROWS. The parent only STAGES the table; the
     // measurement runs in a fresh child JVM (childLeg docstring: in-
     // session headline measurements bias both themselves and the sweep)
-    val (hRows, hRps) =
-      try {
-        graft.bench.Headline.stage(spark, graft.bench.Headline.defaultRows)
-        (graft.bench.Headline.defaultRows,
-          childLeg("graft.bench.ImageHeadlineBench", cpus.toInt, Map(
-            "SPARK_GRAFT_BENCH_ROWS" -> graft.bench.Headline.defaultRows.toString)))
-      } catch { case _: Throwable => (0L, -1.0) }
-    // storage-free scale measurement: the same pipeline over a 100M-row
+    // childLeg returns -1 on any child failure; rows must read 0 then so
+    // a consumer can't mistake a failed measurement for an N-row run
+    val (hRows, hRps) = {
+      try graft.bench.Headline.stage(spark, graft.bench.Headline.defaultRows)
+      catch { case _: Throwable => () }
+      val v = childLeg("graft.bench.ImageHeadlineBench", cpus.toInt, Map(
+        "SPARK_GRAFT_BENCH_ROWS" -> graft.bench.Headline.defaultRows.toString))
+      if (v > 0) (graft.bench.Headline.defaultRows, v) else (0L, -1.0)
+    }
+    // storage-free scale measurement: the same pipeline over a 300M-row
     // deterministic point cloud — also a fresh child JVM (the N-vs-4N
     // efficiency protocol below / tools/scaling.sh is the authoritative
-    // scaling number; this is the single-level throughput headline)
+    // scaling number; this is the single-level throughput headline).
     // 3e8 rows: a fresh JVM needs multi-second passes or the first-pass
     // JIT tax leaks into the median (1e8 at 32 threads is ~1 s/pass)
-    val (sRows, sRps) =
-      try (300000000L, childLeg("graft.bench.ScalingBench", cpus.toInt, Map(
+    val (sRows, sRps) = {
+      val v = childLeg("graft.bench.ScalingBench", cpus.toInt, Map(
         "SPARK_GRAFT_SCALE_ROWS" -> "300000000",
-        "SPARK_GRAFT_SCALE_ITERS" -> "3")))
-      catch { case _: Throwable => (0L, -1.0) }
+        "SPARK_GRAFT_SCALE_ITERS" -> "3"))
+      if (v > 0) (300000000L, v) else (0L, -1.0)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
@@ -152,18 +155,22 @@ object Bench {
     val scPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "3").toInt
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
-    // A pair whose 16c leg runs at barely the 4c leg's speed (speedup
-    // < 1.6x from 4x the threads) is a measurement-apparatus failure —
-    // the hypervisor starved the VM mid-leg (ScalingBench publishes the
-    // measured steal share) — not an engine property: every clean
-    // measurement of this pipeline scales 2.8-3.7x, and 16 threads
-    // cannot be made SLOWER than 4 by the engine on a shuffle-free
-    // map pipeline. Such pairs are retried (bounded) and the rejects
-    // published alongside, so the artifact shows the filtering.
+    // A pair whose speedup falls outside [1.6, 4.4] is a measurement-
+    // apparatus failure, not an engine property: every clean measurement
+    // of this shuffle-free map pipeline scales 2.8-4.0x, the engine
+    // cannot make 16 threads slower than 4 (speedup < 1.6 ⇔ the
+    // hypervisor starved the 16c leg — ScalingBench publishes the
+    // measured steal share), and it equally cannot scale superlinearly
+    // past noise (speedup > 4.4 ⇔ the 4c leg was the starved one). The
+    // filter is SYMMETRIC — rejecting only the unfavorable tail would
+    // bias the published median upward. Degenerate pairs are retried
+    // (bounded) and the rejects published, so the artifact shows the
+    // filtering.
     val rejected = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     def cleanPair(retriesLeft: Int): (Double, Double) = {
       val p = (scalingLeg(4, scRows), scalingLeg(16, scRows))
-      val degenerate = p._1 > 0 && p._2 > 0 && p._2 / p._1 < 1.6
+      val speedup = if (p._1 > 0 && p._2 > 0) p._2 / p._1 else 0.0
+      val degenerate = p._1 > 0 && p._2 > 0 && (speedup < 1.6 || speedup > 4.4)
       if (degenerate && retriesLeft > 0) { rejected += p; cleanPair(retriesLeft - 1) }
       else p
     }

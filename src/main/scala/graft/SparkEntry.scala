@@ -403,9 +403,8 @@ object SparkEntry {
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
     "q19_rasterize" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
     "q19c_rasterize_many" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
-    // same oracle as q19b: both fixture zones are non-empty, where the
-    // literal and join variants agree by construction
-    "q19d_zonal_many" -> OracleSql.zonalStats(Fixtures.polys),
+    // join-shape contract: empty zones emit NO row (HAVING in the twin)
+    "q19d_zonal_many" -> OracleSql.zonalStatsNonEmpty(Fixtures.polys),
     "q19b_zonal_stats" -> OracleSql.zonalStats(Fixtures.polys),
     "q18_distance_join" -> OracleSql.distanceJoin(Fixtures.distEps, Fixtures.distProbeMod),
     "q20_token_count" -> OracleSql.tokenCount,

@@ -184,6 +184,24 @@ object OracleSql {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Twin of [[graft.ops.SpatialOps.zonalStatsMany]], whose join shape
+    * emits NO row for an empty zone (unlike the literal variant's
+    * always-one-row contract) — the HAVING makes the oracle honor that
+    * contract on ANY dataset, not just ones where every fixture zone
+    * happens to be non-empty. */
+  def zonalStatsNonEmpty(polys: Seq[(Int, Poly)]): String = {
+    val arms = polys.map { case (pid, p) =>
+      s"""SELECT $pid AS poly_id, count(*) AS cnt,
+         |       CAST(sum(id) AS BIGINT) AS sum_id,
+         |       min(lat) AS min_lat, max(lat) AS max_lat,
+         |       min(lon) AS min_lon, max(lon) AS max_lon
+         |FROM pts WHERE ${polyContainsSql(p)}
+         |HAVING count(*) > 0""".stripMargin
+    }
+    s"""$pointsCte
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** ε-distance join oracle: brute self-join on the probe slice — twin of
     * [[graft.ops.SpatialOps.distanceJoin]] (d² = (b−a)² ordering). */
   def distanceJoin(eps: Double, probeMod: Int): String = {
