@@ -82,6 +82,76 @@ object GlobalIndex {
     (clustered, GlobalIndex(r, summaries))
   }
 
+  /** Rebuild the global index from a stored table's PERSISTED per-file
+    * summaries — zero Spark jobs, no re-clustering: the leaf slabs were
+    * computed by the write-time stats pass and ride next to the manifest
+    * (SURVEY §1.5's "summaries ride in the snapshot manifest", the
+    * distributed analog of the reference persisting its tree pages in
+    * IndexFile.java:37-95 instead of rebuilding per process). Each live
+    * data FILE becomes one PartitionIndex whose leaves are its per-cell
+    * slabs at the store's stats resolution; a file written before the
+    * sidecar existed falls back to its manifest MBR as a single leaf —
+    * a coarser bound, never a wrong one.
+    *
+    * Caveat for count-based bounds ([[GlobalIndex.knnSeedRadius]]):
+    * pending equality-delete tombstones make slab counts an OVERcount of
+    * live rows, so [[knnStored]] re-audits its radius against the live
+    * data before trusting it. */
+  def fromStore(store: graft.table.SnapshotStore,
+                fanout: Int = LocalRTree.DefaultFanout): GlobalIndex = {
+    val live = store.manifest().filter(e => e.path.nonEmpty && e.kind == "data")
+    val leavesByFile = store.indexLeaves()
+    val parts = live.sortBy(_.path).zipWithIndex.map { case (e, i) =>
+      val leaves = leavesByFile.get(
+          graft.table.SnapshotStore.normalizePath(e.path)) match {
+        case Some(ls) if ls.nonEmpty =>
+          ls.sortBy(_._1).map { case (_, n, la0, la1, lo0, lo1) =>
+            IndexNode(0, la0, lo0, la1, lo1, n)
+          }.toArray
+        case _ =>
+          Array(IndexNode(0, e.minLat, e.minLon, e.maxLat, e.maxLon, e.rows))
+      }
+      LocalRTree.fromLeaves(i, leaves, fanout)
+    }.toArray
+    GlobalIndex(store.statsRes, parts)
+  }
+
+  /** Exact kNN over a STORED table, planned from the persisted index
+    * summaries: one driver-side radius bound ([[GlobalIndex.knnSeedRadius]]
+    * over [[fromStore]]'s zero-scan index) → a manifest-pruned box read
+    * (files wholly outside the radius never open — the file-level subtree
+    * prune, RStarTree.java:426) → exact top-k. The index build cost is
+    * amortized to WRITE time; the query pays only the pruned scan.
+    *
+    * Exactness audit: sidecar counts may overcount live rows under pending
+    * tombstones, so the bound is re-verified against the candidates
+    * (count ≥ k and kth distance ≤ radius²); a failed audit falls back to
+    * the full-table scan — superset-then-refine, never a wrong answer. */
+  def knnStored(store: graft.table.SnapshotStore,
+                qLat: Double, qLon: Double, k: Int): DataFrame =
+    knnStoredPruned(store, qLat, qLon, k)._1
+
+  /** [[knnStored]] + the observed (files read, total files) of its pruned
+    * candidate read, so specs can assert file skipping on the query path. */
+  private[graft] def knnStoredPruned(store: graft.table.SnapshotStore,
+                                     qLat: Double, qLon: Double,
+                                     k: Int): (DataFrame, Int, Int) = {
+    val gi = fromStore(store)
+    val radius = gi.knnSeedRadius(qLat, qLon, k)
+    val (cand, kept, total) =
+      if (radius == Double.MaxValue) store.read()
+      else store.read(Some(MBR(qLat - radius, qLon - radius,
+        qLat + radius, qLon + radius)))
+    val d2c = GeoCols.d2(col("lat"), col("lon"), qLat, qLon)
+    val audit = cand.withColumn("d2", d2c)
+      .orderBy(col("d2"), col("id")).limit(k)
+      .agg(count(lit(1)).as("n"), max(col("d2")).as("dk")).collect()(0)
+    val sound = audit.getLong(0) >= k && !audit.isNullAt(1) &&
+      audit.getDouble(1) <= radius * radius
+    val base = if (sound) cand else store.read()._1
+    (graft.ops.SpatialOps.knnSerial(base, qLat, qLon, k), kept, total)
+  }
+
   /** Index-seeded exact kNN: one driver-side bound from the summary, ONE
     * Spark job over the pruned cell ring (vs. the iterative probe loop of
     * SpatialOps.knnRing). Exact: the seed radius provably contains >= k

@@ -51,11 +51,22 @@ object LocalRTree {
     if (n > 0)
       leaves += IndexNode(0, curMin.minLat, curMin.minLon, curMin.maxLat, curMin.maxLon, n)
 
+    fromLeaves(partitionId, leaves.toArray, fanout)
+  }
+
+  /** Pack upper levels over an existing leaf array — shared by the
+    * row-iterator pack above and the PERSISTED-summary path
+    * ([[GlobalIndex.fromStore]]), whose leaves come from a stored table's
+    * write-time index sidecar instead of a live partition scan. Leaves
+    * must arrive in spatial order (Z/arrival) for tight parent MBRs;
+    * correctness does not depend on it. */
+  def fromLeaves(partitionId: Int, leaves: Array[IndexNode],
+                 fanout: Int = DefaultFanout): PartitionIndex = {
     if (leaves.isEmpty)
       return PartitionIndex(partitionId, fanout, Array(Array(
         IndexNode(0, 0, 0, 0, 0, 0L))))
 
-    val levels = scala.collection.mutable.ArrayBuffer(leaves.toArray)
+    val levels = scala.collection.mutable.ArrayBuffer(leaves)
     while (levels.last.length > 1) {
       val cur = levels.last
       val up = cur.grouped(fanout).map { grp =>

@@ -1,0 +1,140 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Driver-side JSON codec for the store's metadata artifacts (manifests,
+  * table meta, histogram / Bloom / index sidecars).
+  *
+  * Why JSON files instead of parquet datasets: a manifest is a few hundred
+  * rows of driver-resident metadata, but writing it through Spark costs a
+  * full job (write) plus another per read — and commits run once per
+  * micro-batch under streaming ingestion, so those fixed per-job costs
+  * dominated the storage-path wall time (round-3 verdict: q34 21.5 s was
+  * per-commit overhead, not data). Real Iceberg makes the same call: its
+  * manifests/manifest-lists are driver-readable avro/JSON, never a Spark
+  * job. Jackson ships with Spark itself, so no new dependency.
+  *
+  * Doubles round-trip exactly (jackson emits shortest-repr decimal;
+  * `±Double.MaxValue` — the fail-open stats sentinel — included). NaN never
+  * reaches these files: manifest stats fail open to the full range instead.
+  */
+object MetaJson {
+
+  private val mapper = new ObjectMapper()
+
+  private def entryNode(e: FileEntry): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", e.path); o.put("rows", e.rows)
+    o.put("minZ", e.minZ); o.put("maxZ", e.maxZ)
+    o.put("minLat", e.minLat); o.put("maxLat", e.maxLat)
+    o.put("minLon", e.minLon); o.put("maxLon", e.maxLon)
+    o.put("lineageId", e.lineageId); o.put("wallMs", e.wallMs)
+    o.put("kind", e.kind); o.put("seq", e.seq)
+    o
+  }
+
+  def manifestJson(entries: Seq[FileEntry]): String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("entries")
+    entries.foreach(e => arr.add(entryNode(e)))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def parseManifest(json: String): Seq[FileEntry] = {
+    val root = mapper.readTree(json)
+    val arr = root.get("entries").asInstanceOf[ArrayNode]
+    (0 until arr.size()).map { i =>
+      val o = arr.get(i)
+      FileEntry(o.get("path").asText(), o.get("rows").asLong(),
+        o.get("minZ").asLong(), o.get("maxZ").asLong(),
+        o.get("minLat").asDouble(), o.get("maxLat").asDouble(),
+        o.get("minLon").asDouble(), o.get("maxLon").asDouble(),
+        o.get("lineageId").asText(), o.get("wallMs").asLong(),
+        o.get("kind").asText(), o.get("seq").asLong())
+    }
+  }
+
+  def tableMetaJson(curve: String, zRes: Int, histRes: Int): String = {
+    val o = mapper.createObjectNode()
+    o.put("curve", curve); o.put("zRes", zRes); o.put("histRes", histRes)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  /** (curve, zRes, histRes). */
+  def parseTableMeta(json: String): (String, Int, Int) = {
+    val o = mapper.readTree(json)
+    (o.get("curve").asText(), o.get("zRes").asInt(), o.get("histRes").asInt())
+  }
+
+  def histJson(cells: Seq[(Long, Long)]): String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("cells")
+    cells.foreach { case (c, n) =>
+      val row = arr.addArray(); row.add(c); row.add(n)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def parseHist(json: String): Seq[(Long, Long)] = {
+    val arr = mapper.readTree(json).get("cells").asInstanceOf[ArrayNode]
+    (0 until arr.size()).map { i =>
+      val row = arr.get(i); (row.get(0).asLong(), row.get(1).asLong())
+    }
+  }
+
+  def bloomJson(keyCol: String, k: Int, files: Seq[(String, Array[Long])]): String = {
+    val root = mapper.createObjectNode()
+    root.put("keyCol", keyCol); root.put("k", k)
+    val arr = root.putArray("files")
+    files.foreach { case (p, bits) =>
+      val o = arr.addObject(); o.put("path", p)
+      val b = o.putArray("bits"); bits.foreach(b.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** (keyCol, k, path → bits). */
+  def parseBloom(json: String): (String, Int, Seq[(String, Array[Long])]) = {
+    val root = mapper.readTree(json)
+    val arr = root.get("files").asInstanceOf[ArrayNode]
+    val files = (0 until arr.size()).map { i =>
+      val o = arr.get(i)
+      val bs = o.get("bits").asInstanceOf[ArrayNode]
+      (o.get("path").asText(), Array.tabulate(bs.size())(j => bs.get(j).asLong()))
+    }
+    (root.get("keyCol").asText(), root.get("k").asInt(), files)
+  }
+
+  /** Per-file leaf slabs: (cell, cnt, minLat, maxLat, minLon, maxLon). */
+  def indexJson(res: Int, files: Seq[(String, Seq[(Long, Long, Double, Double, Double, Double)])]): String = {
+    val root = mapper.createObjectNode()
+    root.put("res", res)
+    val arr = root.putArray("files")
+    files.foreach { case (p, leaves) =>
+      val o = arr.addObject(); o.put("path", p)
+      val ls = o.putArray("leaves")
+      leaves.foreach { case (c, n, la0, la1, lo0, lo1) =>
+        val row = ls.addArray()
+        row.add(c); row.add(n); row.add(la0); row.add(la1); row.add(lo0); row.add(lo1)
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def parseIndex(json: String): (Int, Seq[(String, Seq[(Long, Long, Double, Double, Double, Double)])]) = {
+    val root = mapper.readTree(json)
+    val arr = root.get("files").asInstanceOf[ArrayNode]
+    val files = (0 until arr.size()).map { i =>
+      val o = arr.get(i)
+      val ls = o.get("leaves").asInstanceOf[ArrayNode]
+      val leaves = (0 until ls.size()).map { j =>
+        val row = ls.get(j)
+        (row.get(0).asLong(), row.get(1).asLong(), row.get(2).asDouble(),
+          row.get(3).asDouble(), row.get(4).asDouble(), row.get(5).asDouble())
+      }
+      (o.get("path").asText(), leaves)
+    }
+    (root.get("res").asInt(), files)
+  }
+}

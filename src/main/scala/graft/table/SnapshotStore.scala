@@ -74,8 +74,37 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   private val currentPtr = metaDir.resolve("current")
   private val histDir = metaDir.resolve("hist")
   private val bloomDir = metaDir.resolve("bloom")
+  private val indexDir = metaDir.resolve("index")
+  private val tableMetaPath = metaDir.resolve("table.json")
   Files.createDirectories(metaDir)
   Files.createDirectories(Paths.get(root, "data"))
+
+  // The curve and key resolution are WRITE-TIME table properties: opening
+  // a hilbert-written table as z (or vice versa) makes curveRangesForMbr
+  // non-covering over the stored __z values and read(box) would silently
+  // drop in-box rows. They are persisted in meta/table.json on first
+  // commit and validated here — fail fast, never a docstring hazard
+  // (Iceberg persists its partition spec in table metadata for the same
+  // reason).
+  private def tableMetaIfExists(): Option[(String, Int, Int)] =
+    if (Files.isRegularFile(tableMetaPath))
+      Some(MetaJson.parseTableMeta(Files.readString(tableMetaPath)))
+    else None
+
+  tableMetaIfExists().foreach { case (storedCurve, storedZRes, _) =>
+    require(storedCurve == curve && storedZRes == zRes,
+      s"table at $root was written with curve=$storedCurve zRes=$storedZRes " +
+        s"but opened with curve=$curve zRes=$zRes — the clustering key and " +
+        "its pruning ranges must agree; open with the written values")
+  }
+
+  private def writeTableMeta(): Unit =
+    if (!Files.exists(tableMetaPath)) {
+      try Files.writeString(tableMetaPath,
+        MetaJson.tableMetaJson(curve, zRes, histRes),
+        StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
 
   def currentSnapshotId: Long =
     if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else 0L
@@ -145,30 +174,43 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       .filter(_.rows > 0)
   }
 
-  /** Manifest decode with ADDITIVE schema evolution (the Iceberg manifest
-    * contract): columns added to FileEntry after a snapshot was written are
-    * defaulted, not AnalysisException'd — Spark does not apply Scala
-    * default parameters for a column missing from parquet, so snapshots
-    * written before `kind` existed must be patched before `.as[FileEntry]`. */
+  /** Manifest read. Current format: a driver-written JSON FILE — KBs of
+    * metadata, zero Spark jobs (a parquet manifest cost one job to write
+    * and one per read, and commits run once per micro-batch under
+    * streaming ingestion; real Iceberg's manifests are likewise
+    * driver-readable, never a cluster job). Snapshots written by the old
+    * parquet-dataset format still read through the legacy path below. */
   def manifest(snapshotId: Long = currentSnapshotId): Seq[FileEntry] = {
-    import spark.implicits._
     if (snapshotId == 0) Seq.empty
     else {
-      if (!Files.exists(metaDir.resolve(s"snap-$snapshotId")))
+      val p = metaDir.resolve(s"snap-$snapshotId")
+      if (!Files.exists(p))
         throw new IllegalStateException(
           s"snapshot $snapshotId is expired or was never committed")
-      val raw = spark.read.parquet(s"$root/meta/snap-$snapshotId")
-      val hasSeq = raw.columns.contains("seq")
-      var patched = raw
-      if (!patched.columns.contains("kind"))
-        patched = patched.withColumn("kind", lit("data"))
-      if (!hasSeq) patched = patched.withColumn("seq", lit(0L))
-      val rows = patched.as[FileEntry].collect().toSeq
-      // pre-seq manifests: row order WAS the sequence (single coalesced
-      // file) — materialize it so scoping semantics carry over unchanged
-      if (hasSeq) rows
-      else rows.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
+      if (Files.isRegularFile(p)) MetaJson.parseManifest(Files.readString(p))
+      else legacyManifest(p.toString)
     }
+  }
+
+  /** Legacy parquet-dataset manifest decode with ADDITIVE schema evolution
+    * (the Iceberg manifest contract): columns added to FileEntry after a
+    * snapshot was written are defaulted, not AnalysisException'd — Spark
+    * does not apply Scala default parameters for a column missing from
+    * parquet, so snapshots written before `kind` existed must be patched
+    * before `.as[FileEntry]`. */
+  private def legacyManifest(dir: String): Seq[FileEntry] = {
+    import spark.implicits._
+    val raw = spark.read.parquet(dir)
+    val hasSeq = raw.columns.contains("seq")
+    var patched = raw
+    if (!patched.columns.contains("kind"))
+      patched = patched.withColumn("kind", lit("data"))
+    if (!hasSeq) patched = patched.withColumn("seq", lit(0L))
+    val rows = patched.as[FileEntry].collect().toSeq
+    // pre-seq manifests: row order WAS the sequence (single coalesced
+    // file) — materialize it so scoping semantics carry over unchanged
+    if (hasSeq) rows
+    else rows.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
   }
 
   def committedLineage: Set[String] = manifest().map(_.lineageId).toSet
@@ -187,8 +229,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * (repartitionByRange + sortWithinPartitions — the bulk-load pack),
     * write immutable parquet, derive per-file stats from the written files
     * themselves, and commit parent-manifest + new entries atomically.
-    * A per-cell histogram of the unit is persisted alongside the manifest
-    * — the write-time skew statistics [[hotCells]] serves at plan time. */
+    * Exactly TWO Spark jobs: the clustered write and ONE stats pass
+    * ([[writeSidecars]]) that yields the per-cell histogram, the per-file
+    * Bloom filters, and the persisted index summaries together (the
+    * round-3 protocol re-read the unit once per sidecar). */
   def append(df: DataFrame, lineageId: String, numPartitions: Int = 0): Long = {
     val t0 = System.nanoTime()
     val parts = if (numPartitions > 0) numPartitions
@@ -198,66 +242,72 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
-    writeHist(unitDir, lineageId)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val entries = footerStats(unitDir, lineageId, wallMs, withZ = true)
-    writeBloom(unitDir, lineageId, entries)
+    writeSidecars(unitDir, lineageId, entries)
     commit(entries)
   }
 
-  /** Persist the unit's per-cell histogram (one columnar lat/lon pass over
-    * the files just written — a write-time cost). Written BEFORE the
-    * commit, under a UNIQUE directory: an aborted commit or a repeated
-    * lineage id leaves extra histograms, which only OVERCOUNT —
-    * [[hotCells]] is an upper-bound hint, and salting a cell that is not
-    * actually hot costs a few broadcast rows, never correctness (an
-    * overwrite keyed by bare lineage id would instead UNDERCOUNT on a
-    * duplicate append, missing genuinely hot cells). */
-  private def writeHist(unitDir: String, lineageId: String): java.nio.file.Path = {
-    val dir = histDir.resolve(
-      s"$lineageId-${java.util.UUID.randomUUID().toString.take(8)}")
-    spark.read.parquet(unitDir)
-      .groupBy(GeoCols.cellCol(col("lat"), col("lon"), histRes).as("cell"))
-      .agg(count(lit(1)).as("cnt"))
-      .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-    dir
+  /** ONE stats pass over the unit just written → three driver-written JSON
+    * sidecars (hist / bloom / index), via [[UnitStatsAgg]] grouped by file:
+    *
+    *  - `meta/hist/<lineage>-<uuid>.json` — the unit's per-cell histogram
+    *    at `histRes` ([[hotCells]]'s write-time skew hint);
+    *  - `meta/bloom/<lineage>-<uuid>.json` — per-file Bloom bitsets over
+    *    `bloomKey` (skipped when the store has none or the table lacks the
+    *    column) — [[lookupByKey]]'s file-skipping input;
+    *  - `meta/index/<lineage>-<uuid>.json` — per-file leaf slabs
+    *    (cell, cnt, MBR): the PERSISTED index summaries
+    *    [[graft.index.GlobalIndex.fromStore]] rebuilds the broadcastable
+    *    index from with zero scans (the reference persists its tree the
+    *    same way, IndexFile.java:37-95).
+    *
+    * Written BEFORE the commit, under UNIQUE names: an aborted commit or a
+    * repeated lineage id leaves orphan sidecars, which only OVERCOUNT the
+    * histogram hint (safe direction) and are never consulted by
+    * path-keyed readers (lookups/index key by manifest paths). */
+  private def writeSidecars(unitDir: String, lineageId: String,
+                            entries: Seq[FileEntry]): Seq[java.nio.file.Path] = {
+    if (entries.isEmpty) return Seq.empty
+    import spark.implicits._
+    val raw = spark.read.parquet(unitDir)
+    val key = bloomKey.filter(raw.columns.contains)
+    val bits = key.map(_ => Bloom.bitsFor(entries.map(_.rows).max)).getOrElse(0)
+    val agg = new UnitStatsAgg(bits)
+    val stats: Array[(String, FileStats)] = raw.select(
+        input_file_name().as("f"),
+        GeoCols.cellCol(col("lat"), col("lon"), histRes).as("cell"),
+        col("lat"), col("lon"),
+        key.map(kc => xxhash64(col(kc))).getOrElse(lit(0L)).as("h"))
+      .as[(String, Long, Double, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4, t._5))
+      .agg(agg.toColumn.name("stats"))
+      .collect()
+    val byFile = stats.sortBy(_._1)
+      .map { case (f, fs) => (SnapshotStore.normalizePath(f), fs) }.toSeq
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val written = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def put(dir: java.nio.file.Path, json: String): Unit = {
+      Files.createDirectories(dir)
+      val p = dir.resolve(s"$lineageId-$uuid.json")
+      Files.writeString(p, json, StandardOpenOption.CREATE_NEW)
+      written += p
+    }
+    val cellTotals = scala.collection.mutable.HashMap.empty[Long, Long]
+    byFile.foreach { case (_, fs) => fs.leaves.foreach { l =>
+      cellTotals.update(l._1, cellTotals.getOrElse(l._1, 0L) + l._2) } }
+    put(histDir, MetaJson.histJson(cellTotals.toSeq.sortBy(_._1)))
+    put(indexDir, MetaJson.indexJson(histRes,
+      byFile.map { case (f, fs) => (f, fs.leaves.toSeq) }))
+    key.foreach { kc =>
+      put(bloomDir, MetaJson.bloomJson(kc, Bloom.K,
+        byFile.map { case (f, fs) => (f, fs.bits) }))
+    }
+    written.toSeq
   }
 
-  /** Persist per-file Bloom filters over `bloomKey` for the unit just
-    * written (no-op when the store has no bloom key or the table lacks the
-    * column). One columnar write-time pass over (file, xxhash64(key));
-    * only partial BITSETS cross the aggregation exchange, never keys.
-    * Written BEFORE the commit under a unique dir, like [[writeHist]]: a
-    * crash leaves an orphan sidecar that [[lookupByKey]] simply never
-    * consults (lookups key filters by manifest path). */
-  private def writeBloom(unitDir: String, lineageId: String,
-                         entries: Seq[FileEntry]): Option[java.nio.file.Path] =
-    bloomKey.flatMap { key =>
-      val df = spark.read.parquet(unitDir)
-      if (!df.columns.contains(key) || entries.isEmpty) None
-      else {
-        import spark.implicits._
-        val bits = Bloom.bitsFor(entries.map(_.rows).max)
-        val dir = bloomDir.resolve(
-          s"$lineageId-${java.util.UUID.randomUUID().toString.take(8)}")
-        df.select(input_file_name().as("f"), xxhash64(col(key)).as("h"))
-          .as[(String, Long)]
-          .groupByKey(_._1).mapValues(_._2)
-          .agg(new BloomAgg(bits).toColumn.name("bits"))
-          .toDF("path", "bits")
-          .withColumn("k", lit(Bloom.K))
-          .withColumn("keyCol", lit(key))
-          .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-        Some(dir)
-      }
-    }
-
-  /** `file:`-URI and plain-path spellings of the same file must compare
-    * equal: manifest paths are Hadoop URIs (`file:/x`), `input_file_name`
-    * yields `file:///x`. */
-  private def normPath(p: String): String =
-    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
-    else p
+  private def normPath(p: String): String = SnapshotStore.normalizePath(p)
 
   /** Key point lookup planned through the manifest Bloom sidecars: only
     * files whose filter says a probed key MIGHT be present are opened
@@ -266,29 +316,41 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * sequence-scoped tombstone chain as [[read]], then refines exactly
     * with a pushed `IN` predicate, so `lookupByKey(vs)` ==
     * `read()._1.filter(key IN vs)` always — the Bloom only changes how
-    * many files the plan opens. Returns (rows, files read, total files). */
+    * many files the plan opens. Returns (rows, files read, total files).
+    * Sidecars are driver-read JSON (KBs) — planning costs no Spark job. */
   def lookupByKey(values: Seq[Any], keyCol: String = ""): (DataFrame, Int, Int) = {
     val key = if (keyCol.nonEmpty) keyCol
       else bloomKey.getOrElse(throw new IllegalArgumentException(
         "store has no bloomKey: pass keyCol explicitly"))
     val filters: Map[String, Array[Long]] =
-      if (!Files.exists(bloomDir)) Map.empty
-      else {
-        val dirs = listDir(bloomDir).map(_.toString)
-        if (dirs.isEmpty) Map.empty
-        else spark.read.parquet(dirs: _*)
-          .filter(col("keyCol") === key && col("k") === Bloom.K)
-          .select(col("path"), col("bits"))
-          .collect()
-          .map(r => normPath(r.getString(0)) -> r.getSeq[Long](1).toArray)
-          .toMap
-      }
+      sidecarFiles(bloomDir).flatMap { f =>
+        val (kc, k, perFile) = MetaJson.parseBloom(Files.readString(f))
+        if (kc == key && k == Bloom.K) perFile else Seq.empty
+      }.toMap
     val hashes = values.map(Bloom.hashLiteral)
     planAt(currentSnapshotId,
       keep = e => filters.get(normPath(e.path))
         .forall(bits => hashes.exists(Bloom.mightContain(bits, _))),
       refine = df => df.filter(col(key).isin(values: _*)))
   }
+
+  /** JSON sidecar files under a meta subdirectory (empty if absent). */
+  private def sidecarFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!Files.exists(dir)) Seq.empty
+    else listDir(dir).filter(_.getFileName.toString.endsWith(".json"))
+
+  /** Resolution the write-time stats (hist + index leaves) are keyed at. */
+  def statsRes: Int = histRes
+
+  /** Persisted per-file index summaries (leaf slabs keyed by normalized
+    * file path) — written by [[writeSidecars]], consumed by
+    * [[graft.index.GlobalIndex.fromStore]] with zero Spark jobs. Orphan
+    * sidecars from crashed appends are harmless: consumers key by the
+    * manifest's file paths, which never reference them. */
+  def indexLeaves(): Map[String, Seq[(Long, Long, Double, Double, Double, Double)]] =
+    sidecarFiles(indexDir)
+      .flatMap(f => MetaJson.parseIndex(Files.readString(f))._2)
+      .toMap
 
   /** Write-time hot-cell set at resolution `r` — the zero-query-time-scan
     * input to [[graft.ops.SpatialOps.boxJoinSalted]]. Counts come from the
@@ -297,12 +359,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * Both directions yield a SUPERSET of the truly-hot set (deletes are
     * not subtracted either) — exactly the safe side for a salting hint. */
   def hotCells(r: Int, hotThreshold: Double = 0.05): Set[Long] = {
-    val dirs = if (Files.exists(histDir)) listDir(histDir).map(_.toString)
-      else Seq.empty
-    if (dirs.isEmpty) return Set.empty
-    val cells = spark.read.parquet(dirs: _*)
-      .groupBy("cell").agg(sum(col("cnt")).as("cnt"))
-      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val files = sidecarFiles(histDir)
+    if (files.isEmpty) return Set.empty
+    val merged = scala.collection.mutable.HashMap.empty[Long, Long]
+    files.foreach(f => MetaJson.parseHist(Files.readString(f)).foreach {
+      case (c, n) => merged.update(c, merged.getOrElse(c, 0L) + n)
+    })
+    val cells = merged.toArray
     val total = cells.map(_._2).sum
     val hotAtHist = cells.filter(_._2 > total * hotThreshold).map(_._1)
     if (r == histRes) hotAtHist.toSet
@@ -341,7 +404,6 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   private def commit(newEntries: Seq[FileEntry],
                      replaceParent: Boolean = false,
                      expectedParent: Long = -1L): Long = {
-    import spark.implicits._
     val parent = if (expectedParent >= 0) expectedParent else currentSnapshotId
     def assertUnmoved(): Unit =
       if (currentSnapshotId != parent)
@@ -354,13 +416,19 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val stamped = newEntries.map(_.copy(seq = next))
     val all = if (replaceParent) stamped else manifest(parent) ++ stamped
     sweepOrphans()
-    // snap-N+1 (ErrorIfExists) and current.tmp.N+1 (CREATE_NEW) are the
+    writeTableMeta()
+    // snap-N+1 (CREATE_NEW) and current.tmp.N+1 (CREATE_NEW) are the
     // optimistic-concurrency tripwires: a concurrent committer that won
     // the race leaves one of them in place and this commit FAILS instead
     // of silently replacing a snapshot it never read (real Iceberg moves
     // this CAS into the catalog; the seam is identical)
-    spark.createDataset(all).coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/meta/snap-$next")
+    try Files.writeString(metaDir.resolve(s"snap-$next"),
+      MetaJson.manifestJson(all), StandardOpenOption.CREATE_NEW)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"snap-$next already exists — another writer won the race ($e)")
+    }
     if (currentSnapshotId != parent) {
       // undo our own (still unreferenced) manifest before failing so the
       // next committer's ErrorIfExists write is not blocked forever
@@ -602,22 +670,22 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // append's freshly written histogram (its unit is not in `base`) must
     // survive or its hot cells vanish from the hint.
     val folded = lineageMarkers.map(_.lineageId).toSet + lineage
-    val freshHist = writeHist(unitDir, lineage)
-    listDir(histDir).filterNot(_ == freshHist).foreach { d =>
-      val lin = d.getFileName.toString.dropRight(9) // strip "-<uuid8>"
-      if (folded.contains(lin)) deleteRecursive(d)
+    val fresh = writeSidecars(unitDir, lineage, stats).toSet
+    Seq(histDir, bloomDir, indexDir).foreach { dir =>
+      if (Files.exists(dir))
+        listDir(dir).filterNot(fresh.contains).foreach { d =>
+          if (folded.contains(sidecarLineage(d))) deleteRecursive(d)
+        }
     }
-    // same write-then-delete swap for the Bloom sidecars: the compacted
-    // unit's filters land first, then filters of folded units go (their
-    // file paths left the manifest, so lookups would never consult them —
-    // this is space reclamation, not correctness)
-    val freshBloom = writeBloom(unitDir, lineage, stats)
-    if (Files.exists(bloomDir))
-      listDir(bloomDir).filterNot(freshBloom.contains).foreach { d =>
-        val lin = d.getFileName.toString.dropRight(9)
-        if (folded.contains(lin)) deleteRecursive(d)
-      }
     next
+  }
+
+  /** Lineage id encoded in a sidecar file/dir name
+    * (`<lineage>-<uuid8>[.json]`). */
+  private def sidecarLineage(p: java.nio.file.Path): String = {
+    val name = p.getFileName.toString
+    val base = if (name.endsWith(".json")) name.dropRight(5) else name
+    base.dropRight(9) // strip "-<uuid8>"
   }
 
   /** Incremental consumption (the CDC primitive a downstream pipeline
@@ -711,4 +779,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     todo.foreach(u => append(produce(u), u))
     todo
   }
+}
+
+object SnapshotStore {
+  /** `file:`-URI and plain-path spellings of the same file must compare
+    * equal: manifest paths are Hadoop URIs (`file:/x`), `input_file_name`
+    * yields `file:///x`. Sidecars persist the normalized form. */
+  def normalizePath(p: String): String =
+    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+    else p
 }
