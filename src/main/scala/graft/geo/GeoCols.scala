@@ -50,6 +50,19 @@ object GeoCols {
     shiftleft(spread(y), 1).bitwiseOR(spread(x))
   }
 
+  /** STR (Sort-Tile-Recursive) packing key: latitude STRIP index at
+    * `stripRes` in the high 32 bits, fine longitude index at `fineRes` in
+    * the low bits — range-partitioning on it reproduces STR's two-level
+    * sort (primary by one axis into √(n/fanout)-ish strips, secondary by
+    * the other axis within each strip) as ONE key, so the same
+    * repartitionByRange + sortWithinPartitions pack serves all three
+    * curves. Primary axis is lat, mirroring the reference's coords[0]
+    * bulk-load sort (RStarTree.java:177) — STR is that sort plus the
+    * within-strip secondary order it lacks. */
+  def strCol(lat: Column, lon: Column, stripRes: Int, fineRes: Int): Column =
+    shiftleft(clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(stripRes))), stripRes), 32)
+      .bitwiseOR(clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(fineRes))), fineRes))
+
   /** Append a Hilbert-curve clustering key column ([[CellId.hilbertD]]
     * twin) — the alternative bulk-load packing key the north star names
     * next to STR. A DataFrame-level builder rather than a single Column:

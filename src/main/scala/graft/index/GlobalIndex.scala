@@ -57,14 +57,20 @@ object GlobalIndex {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    // packing key: Morton by default; Hilbert (north star: "STR/Hilbert-
-    // curve bulk-load packing") yields tighter per-partition root MBRs
-    // since consecutive curve positions are always grid-adjacent. The
-    // index works identically either way — summaries are built from the
-    // clustered rows, not from the key.
+    // packing key — all three modes the north star names ("STR/Hilbert-
+    // curve bulk-load packing"): Morton (default), Hilbert (consecutive
+    // curve positions always grid-adjacent → tightest root MBRs), and STR
+    // (lat strips at ~sqrt granularity, lon-ordered within — the classic
+    // packed-R-tree layout; 2^(r/2) strips plays the role of its
+    // √(n/fanout) strip count). The index works identically under any of
+    // them — summaries are built from the clustered rows, not the key.
     val keyed = curve match {
       case "hilbert" => GeoCols.withHilbert(points, col("lat"), col("lon"), r, "__z")
-      case _ => points.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), r))
+      case "str" => points.withColumn("__z",
+        GeoCols.strCol(col("lat"), col("lon"), math.max(1, r / 2), CellId.MaxRes))
+      case "z" => points.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), r))
+      case other => throw new IllegalArgumentException(
+        s"unknown packing curve '$other' (want z | hilbert | str)")
     }
     val clustered = keyed
       .repartitionByRange(parts, col("__z"))

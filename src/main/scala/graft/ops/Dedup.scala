@@ -185,31 +185,45 @@ object Dedup {
     * is first-wins, the ingestion-time contract).
     *
     * State bound at 10¹² docs: the keeper map grows with distinct keys;
-    * the production bound is a state TTL (ProcessingTimeTimeout +
-    * state.remove on timeout ⇒ exact dedup within the TTL window, a
-    * fresh window after). Not enabled here: a registered processing-time
-    * timeout makes the micro-batch engine self-trigger continuously,
-    * which the drain-synchronously harness (and any processAllAvailable
-    * caller) cannot quiesce — measured as an unbounded batch loop. */
-  def streamDedupAssign(docs: DataFrame): DataFrame = {
+    * `ttlMs` is the production bound — a ProcessingTimeTimeout per key,
+    * re-armed on every arrival, with `state.remove()` on expiry: exact
+    * dedup within the TTL window, a fresh window (new keeper) after. The
+    * timeout is registered ONLY when a TTL is configured: an armed
+    * processing-time timeout makes the micro-batch engine self-trigger
+    * to fire expiries, which the drain-synchronously harness
+    * (processAllAvailable) cannot quiesce — TTL deployments run on real
+    * triggers (the spec uses checkpointed AvailableNow restarts with a
+    * real clock), while the default NoTimeout path drains cleanly. */
+  def streamDedupAssign(docs: DataFrame, ttlMs: Option[Long] = None): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .select(col("doc_id"), xxhash64(col("text")).as("h1"),
         xxhash64(lit("graft-dedup-2"), col("text")).as("h2"))
       .as[(Long, Long, Long)]
       .groupByKey(r => (r._2, r._3))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Long, Long), rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) => {
-          val ids = rows.map(_._1).toArray.sorted
-          val known = state.getOption
-          // first-wins: the keeper assigned when the key first appears is
-          // stable forever (already-emitted assignments can't be revised
-          // in append mode) — min over the first batch makes intra-batch
-          // order irrelevant
-          val keeper = known.getOrElse(ids.head)
-          state.update(keeper)
-          ids.iterator.map(id => (id, keeper, known.isEmpty && id == keeper))
+          if (state.hasTimedOut) {
+            // TTL expiry (invoked with no rows): evict the keeper — the
+            // next arrival of this content hash opens a fresh window
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._1).toArray.sorted
+            val known = state.getOption
+            // first-wins: the keeper assigned when the key first appears is
+            // stable forever (already-emitted assignments can't be revised
+            // in append mode) — min over the first batch makes intra-batch
+            // order irrelevant
+            val keeper = known.getOrElse(ids.head)
+            state.update(keeper)
+            // re-arm per arrival: the window is TTL-since-last-seen
+            ttlMs.foreach(state.setTimeoutDuration)
+            ids.iterator.map(id => (id, keeper, known.isEmpty && id == keeper))
+          }
         })
       .toDF("doc_id", "keeper_id", "is_first")
   }

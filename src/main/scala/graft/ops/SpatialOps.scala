@@ -656,9 +656,16 @@ object SpatialOps {
   /** Reference bulk-load packing (ops #7/#8): global sort by first
     * coordinate only (RStarTree.java:177 — deliberately NOT STR, to match
     * the reference), slabs of exactly `fanout` (RStarTree.java:189-200),
-    * per-leaf MBR + count. The scalable engine path uses Z-order
-    * range-partitioning instead ([[graft.index.LocalRTree]]); this op
-    * exists to pin the reference's packing semantics under oracle check. */
+    * per-leaf MBR + count.
+    *
+    * PARITY-ONLY, single-task by construction: the unpartitioned
+    * `Window.orderBy` below funnels every row through one task — the
+    * exact price of the reference's global 1-D sort semantics, pinned
+    * here so the oracle can check them. NEVER the production bulk load:
+    * the engine path is [[graft.index.GlobalIndex.build]]'s
+    * range-partitioned Z/Hilbert/STR pack (one distributed exchange,
+    * per-partition packing), which scales with partitions. Run this op
+    * only at oracle-fixture sizes. */
   def bulkloadLeaves(points: DataFrame, fanout: Int = Fixtures.PackFanout): DataFrame = {
     val w = Window.orderBy(col("lat"), col("id"))
     points.withColumn("leaf", ((row_number().over(w) - 1) / fanout).cast("long"))

@@ -107,4 +107,30 @@ class IndexSpec extends AnyFunSuite {
       s"hilbert root area ${area(hGi)} vs morton ${area(built._2)}")
     hClustered.unpersist(false)
   }
+
+  test("str-packed index: same content, sound hierarchy, exact kNN") {
+    // the third packing mode the north star names — lat strips with
+    // lon order within (the classic STR layout, i.e. the reference's 1-D
+    // bulk-load sort plus the secondary order it lacks)
+    val (sClustered, sGi) = GlobalIndex.build(pts, r = 10, numPartitions = 8,
+      curve = "str")
+    val sRows = sClustered.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(sRows.sorted.toSeq == rows.sorted.toSeq)
+    assert(sGi.totalRows == rows.length)
+    for (p <- sGi.parts.filter(_.count > 0); lvl <- p.levels) {
+      assert(lvl.map(_.count).sum == p.count)
+      assert(lvl.map(_.mbr).reduce(_ union _) == p.root.mbr)
+    }
+    val (qla, qlo, k) = (12.345, -67.89, 25)
+    val exp = rows.map { case (id, la, lo) =>
+      (id, (la - qla) * (la - qla) + (lo - qlo) * (lo - qlo))
+    }.sortBy { case (id, d2) => (d2, id) }.take(k).map(_._1).toSeq
+    val got = GlobalIndex.knnIndexed(sClustered, sGi, qla, qlo, k)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == exp)
+    intercept[IllegalArgumentException] {
+      GlobalIndex.build(pts, r = 10, numPartitions = 8, curve = "peano")
+    }
+    sClustered.unpersist(false)
+  }
 }

@@ -303,6 +303,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assigns.foreach { case (_, keeper, _) => assert(expGroups.contains(keeper)) }
   }
 
+  test("streaming dedup TTL: exact within the window, eviction opens a fresh one") {
+    // round-3 verdict ask #6: the 10¹²-doc state bound made real. An
+    // armed processing-time timeout makes the engine self-trigger batches
+    // (that is HOW expiries fire with no arriving data), so the harness
+    // cannot drain with processAllAvailable — it polls the sink with a
+    // real clock instead, against one continuously-running query.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ttlMs = 8000L
+    val ms = MemoryStream[(Long, String)]
+    val name = "graft_ttl_spec"
+    val q = Dedup.streamDedupAssign(ms.toDF().toDF("doc_id", "text"),
+        ttlMs = Some(ttlMs)).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    def rowsNow(): Seq[(Long, Long, Boolean)] = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    def awaitRows(n: Int): Seq[(Long, Long, Boolean)] = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (rowsNow().size < n) {
+        assert(System.currentTimeMillis() < deadline, s"timed out awaiting $n rows")
+        Thread.sleep(100)
+      }
+      rowsNow()
+    }
+    try {
+      // within the window: exact dedup, intra-batch min-id keeper
+      ms.addData((5L, "X"), (3L, "X"), (7L, "Y"))
+      assert(awaitRows(3) == Seq((3L, 3L, true), (5L, 3L, false), (7L, 7L, true)))
+      // a later micro-batch inside the window still routes to the keeper
+      // (and re-arms the key's timeout)
+      ms.addData((9L, "X"))
+      assert(awaitRows(4).contains((9L, 3L, false)))
+      // REAL-CLOCK planted expiry: no data arrives; the engine's
+      // self-triggered batches run the timeout sweep and evict the state
+      Thread.sleep(ttlMs + 3000)
+      // fresh window: the same content re-appearing elects a NEW keeper —
+      // without the TTL this would be (13, 3, false)
+      ms.addData((13L, "X"))
+      assert(awaitRows(5).contains((13L, 13L, true)))
+    } finally q.stop()
+  }
+
   test("streaming boxJoin (stateless stream-static join) == batch boxJoin") {
     val got = EventOps.streamBoxJoin(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
