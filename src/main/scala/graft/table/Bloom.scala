@@ -1,8 +1,5 @@
 package graft.table
 
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-
 /** Per-data-file Bloom filters for manifest-level point-lookup pruning —
   * the file-skipping analog of Iceberg's puffin blobs / parquet column
   * Bloom filters, lifted to PLAN time: a key-equality read consults the
@@ -86,20 +83,7 @@ object Bloom {
   }
 }
 
-/** Distributed per-file Bloom build: aggregate the xxhash64'd key column
-  * grouped by `input_file_name` — one map-side partial bitset per task,
-  * OR-merged; only bitsets cross the exchange, never keys. */
-class BloomAgg(bits: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
-  override def zero: Array[Long] = new Array[Long](bits / 64)
-  override def reduce(b: Array[Long], h: Long): Array[Long] = { Bloom.add(b, h); b }
-  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < x.length) { x(i) |= y(i); i += 1 }
-    x
-  }
-  override def finish(b: Array[Long]): Array[Long] = b
-  override def bufferEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-  override def outputEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-}
+// The distributed per-file Bloom build lives in [[UnitStatsAgg]] since
+// round 4: bitsets are accumulated in the SAME one-job stats pass that
+// produces the histogram and index sidecars (only compact partial buffers
+// cross the exchange, never keys).

@@ -18,8 +18,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   *
   * `seq` is the Iceberg-style sequence number: the snapshot id of the
   * commit that introduced the entry, PERSISTED so delete scoping never
-  * depends on the physical row order of the manifest parquet (manifests
-  * written before the field get their row index as the sequence — the
+  * depends on the physical row order of the manifest (manifests written
+  * before the field existed get their row index as the sequence — the
   * exact ordering semantics they were written under). */
 final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
                            minLat: Double, maxLat: Double,
@@ -32,9 +32,12 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   * in-repo with a seam to swap the real thing:
   *
   * {{{
-  * <root>/data/<lineage>-<uuid>/part-*.parquet     immutable data files
-  * <root>/meta/snap-<n>/                           manifest (parquet of FileEntry)
-  * <root>/meta/current                             atomic pointer "n"
+  * <root>/data/<lineage>-<uuid>/part-*.parquet        immutable data files
+  * <root>/meta/snap-<n>                               manifest (JSON of FileEntry;
+  *                                                    legacy parquet DIRS still read)
+  * <root>/meta/current                                atomic pointer "n"
+  * <root>/meta/table.json                             pinned layout (curve, zRes)
+  * <root>/meta/{hist,bloom,index}/<lineage>-<id>.json write-time sidecars
   * }}}
   *
   * Commits append a new manifest = parent's entries + new entries, then

@@ -38,6 +38,23 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(SpatialOps.knnJoinPruned(noPts, Fixtures.knnQueries.take(2), 3).count() == 0)
   }
 
+  test("empty / undersized snapshot store: index and stored-kNN degenerate sanely") {
+    import graft.index.GlobalIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_empty_store").toString
+    val st = new graft.table.SnapshotStore(spark, root)
+    // nothing committed: the persisted index is empty, reads fail loudly
+    assert(GlobalIndex.fromStore(st).totalRows == 0)
+    intercept[IllegalArgumentException](
+      GlobalIndex.knnStored(st, 0.0, 0.0, 5).count())
+    // fewer rows than k: seed radius can't bound k points → full-scan
+    // fallback returns every row, exactly ranked
+    st.append(Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0))
+      .toDF("id", "lat", "lon"), "tiny", numPartitions = 1)
+    val got = GlobalIndex.knnStored(st, 0.0, 0.0, 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("kNN with k larger than the table returns all rows, exactly ranked") {
     val three = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0)).toDF("id", "lat", "lon")
     assert(SpatialOps.knnSerial(three, 0.0, 0.0, 10).count() == 3)
