@@ -232,22 +232,25 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * (repartitionByRange + sortWithinPartitions — the bulk-load pack),
     * write immutable parquet, derive per-file stats from the written files
     * themselves, and commit parent-manifest + new entries atomically.
-    * Exactly TWO Spark jobs: the clustered write and ONE stats pass
+    * Exactly TWO Spark queries: the clustered write and ONE stats pass
     * ([[writeSidecars]]) that yields the per-cell histogram, the per-file
     * Bloom filters, and the persisted index summaries together (the
-    * round-3 protocol re-read the unit once per sidecar). */
+    * round-3 protocol re-read the unit once per sidecar, and every
+    * commit/manifest op was itself a Spark job; AQE may split each query
+    * into a few stage-jobs — the budget is pinned in spec). */
   def append(df: DataFrame, lineageId: String, numPartitions: Int = 0): Long = {
     val t0 = System.nanoTime()
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val unitDir = s"$root/data/$lineageId-${java.util.UUID.randomUUID().toString.take(8)}"
-    withCurveKey(df)
+    val keyed = withCurveKey(df)
+    keyed
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val entries = footerStats(unitDir, lineageId, wallMs, withZ = true)
-    writeSidecars(unitDir, lineageId, entries)
+    writeSidecars(unitDir, lineageId, entries, keyed.schema)
     commit(entries)
   }
 
@@ -270,10 +273,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * histogram hint (safe direction) and are never consulted by
     * path-keyed readers (lookups/index key by manifest paths). */
   private def writeSidecars(unitDir: String, lineageId: String,
-                            entries: Seq[FileEntry]): Seq[java.nio.file.Path] = {
+                            entries: Seq[FileEntry],
+                            schema: org.apache.spark.sql.types.StructType): Seq[java.nio.file.Path] = {
     if (entries.isEmpty) return Seq.empty
     import spark.implicits._
-    val raw = spark.read.parquet(unitDir)
+    // the writer's schema is passed in — inferring it would cost a
+    // footer-sampling Spark job per append
+    val raw = spark.read.schema(schema).parquet(unitDir)
     val key = bloomKey.filter(raw.columns.contains)
     val bits = key.map(_ => Bloom.bitsFor(entries.map(_.rows).max)).getOrElse(0)
     val agg = new UnitStatsAgg(bits)
@@ -644,7 +650,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // its commit must not wedge every retry on ErrorIfExists
     val unitDir = s"$root/data/compact-${base + 1}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    withCurveKey(df)
+    val keyed = withCurveKey(df)
+    keyed
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
@@ -673,7 +680,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // append's freshly written histogram (its unit is not in `base`) must
     // survive or its hot cells vanish from the hint.
     val folded = lineageMarkers.map(_.lineageId).toSet + lineage
-    val fresh = writeSidecars(unitDir, lineage, stats).toSet
+    val fresh = writeSidecars(unitDir, lineage, stats, keyed.schema).toSet
     Seq(histDir, bloomDir, indexDir).foreach { dir =>
       if (Files.exists(dir))
         listDir(dir).filterNot(fresh.contains).foreach { d =>

@@ -517,6 +517,34 @@ class SnapshotStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](st.expireSnapshots(keepLast = 0))
   }
 
+  test("append job budget: clustered write + one stats pass; metadata reads cost zero jobs") {
+    // the round-4 commit-protocol claim, pinned: an append runs TWO Spark
+    // queries — the clustered write (range sampling + shuffle + write
+    // stage-jobs under AQE) and ONE sidecar stats pass (map + final
+    // stage-jobs) — totalling <= 8 stage-jobs, with the schema passed to
+    // the stats read (no footer-inference job); and manifest / lineage /
+    // hotCells / index reads are pure driver IO — ZERO Spark jobs
+    def jobsOf(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val st = new SnapshotStore(spark, tmp())
+    val appendJobs = jobsOf("r4-append") {
+      st.append(pts.limit(300), "u-0", numPartitions = 2)
+    }
+    assert(appendJobs >= 2 && appendJobs <= 8,
+      s"append ran $appendJobs jobs — the two-query commit contract is broken")
+    val metaJobs = jobsOf("r4-meta") {
+      st.manifest(); st.committedLineage; st.totalRows
+      st.hotCells(graft.data.Fixtures.JoinRes)
+      st.indexLeaves()
+      graft.index.GlobalIndex.fromStore(st)
+    }
+    assert(metaJobs == 0,
+      s"metadata reads ran $metaJobs Spark jobs — manifests/sidecars must be driver IO")
+  }
+
   test("image table through the store: payload intact after cluster+commit") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)

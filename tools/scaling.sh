@@ -20,8 +20,9 @@
 #     floors (4c >= 12M rows/s, 16c >= 45M at the default 1e9-row input —
 #     0.6x the stable clean-leg medians; a both-legs-degraded pair passes
 #     the window alone, round-3 verdict).
-#   - one retry per degenerate pair; rejects printed WITH the leg's
-#     steal_pct; if NO pair is clean the output carries contended=true.
+#   - two retries per degenerate pair (same budget as Bench); rejects
+#     printed WITH the leg's steal_pct; if NO pair is clean the output
+#     carries contended=true.
 # Usage: tools/scaling.sh [rows] [pairs]
 set -e
 cd "$(dirname "$0")/.."
@@ -48,7 +49,7 @@ leg() { # cpus outfile
 }
 
 for P in $(seq 1 "$PAIRS"); do
-  for TRY in a b; do
+  for TRY in a b c; do
     leg 4  "$OUT/leg_4_p${P}.json"
     leg 16 "$OUT/leg_16_p${P}.json"
     OK=$(python3 -c "
@@ -57,7 +58,7 @@ a = json.load(open('$OUT/leg_4_p${P}.json'))
 b = json.load(open('$OUT/leg_16_p${P}.json'))
 sp = b['value'] / a['value']
 print(1 if 1.6 <= sp <= 4.4 and a['value'] >= $FLOOR4 and b['value'] >= $FLOOR16 else 0)")
-    if [ "$OK" = "1" ] || [ "$TRY" = "b" ]; then break; fi
+    if [ "$OK" = "1" ] || [ "$TRY" = "c" ]; then break; fi
     python3 -c "
 import json
 a = json.load(open('$OUT/leg_4_p${P}.json'))
