@@ -47,6 +47,16 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   * (RStarTree.java:426) at file granularity. Per-append lineage ids +
   * wall-clock metrics make multi-unit jobs resumable: a rerun skips units
   * already present in the current snapshot ([[resumableRun]]).
+  *
+  * Scale note — manifest size: one flat manifest is O(file count); at the
+  * 10¹²-row design point (~10⁶ files of ~100 MB) that is a few hundred MB
+  * of driver-side JSON — readable, but the right shape there is Iceberg's
+  * two levels (a manifest LIST whose entries carry per-manifest Z-range
+  * bounds, so a box query downloads only overlapping manifest shards).
+  * The seam is [[manifest]]/`commit`: both already treat the manifest as
+  * an opaque `Seq[FileEntry]` keyed by snapshot id, so sharding by Z
+  * range (or swapping real Iceberg in) changes no caller. Compaction
+  * already bounds entry count growth between appends.
   */
 final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
                           histRes: Int = 8,
@@ -283,10 +293,15 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val key = bloomKey.filter(raw.columns.contains)
     val bits = key.map(_ => Bloom.bitsFor(entries.map(_.rows).max)).getOrElse(0)
     val agg = new UnitStatsAgg(bits)
+    // nulls → NaN: the typed encoder would throw on a null primitive, and
+    // the aggregator must still Bloom the row's key (skipping it would be
+    // a false negative); NaN coords are excluded from cell stats only
+    val latN = coalesce(col("lat"), lit(Double.NaN))
+    val lonN = coalesce(col("lon"), lit(Double.NaN))
     val stats: Array[(String, FileStats)] = raw.select(
         input_file_name().as("f"),
-        GeoCols.cellCol(col("lat"), col("lon"), histRes).as("cell"),
-        col("lat"), col("lon"),
+        coalesce(GeoCols.cellCol(col("lat"), col("lon"), histRes), lit(0L)).as("cell"),
+        latN.as("lat"), lonN.as("lon"),
         key.map(kc => xxhash64(col(kc))).getOrElse(lit(0L)).as("h"))
       .as[(String, Long, Double, Double, Long)]
       .groupByKey(_._1)

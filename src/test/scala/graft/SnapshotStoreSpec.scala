@@ -193,6 +193,21 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L), s"rows lost through NaN-polluted stats: $got")
   }
 
+  test("null coordinates: append survives; Bloom still finds the row; stats skip it") {
+    import spark.implicits._
+    val st = new SnapshotStore(spark, tmp(), bloomKey = Some("id"))
+    st.append(Seq((1L, Option(12.0), Option(40.0)),
+        (2L, Option.empty[Double], Option.empty[Double]))
+      .toDF("id", "lat", "lon"), "u-0", numPartitions = 1)
+    assert(st.read()._1.count() == 2)
+    // the stats pass must not drop the null row's key from the Bloom
+    // filter (that would be a false negative on lookup)...
+    val (df, _, _) = st.lookupByKey(Seq(2L))
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // ...while the index summaries count only rows that live in a cell
+    assert(graft.index.GlobalIndex.fromStore(st).totalRows == 1)
+  }
+
   test("orphaned snap dir + stale tmp from a crashed commit do not wedge the table") {
     val root = tmp()
     val st = new SnapshotStore(spark, root)
