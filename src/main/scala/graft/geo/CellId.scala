@@ -313,6 +313,22 @@ object CellId {
     hilbertRangesForBox(cellY(b.minLat, r), cellY(b.maxLat, r),
       cellX(b.minLon, r), cellX(b.maxLon, r), r, maxRanges)
 
+  /** STR-key ranges covering a lat/lon box ([[graft.geo.GeoCols.strCol]]
+    * layout: lat-strip index at `stripRes` in the high 32 bits, fine lon
+    * index at `fineRes` low). One range per overlapping strip — the STR
+    * twin of the Z/Hilbert coverings; over budget, adjacent strips merge
+    * pairwise into spanning SUPERSET ranges (valid for pruning — exact
+    * refine always follows). */
+  def strRangesForMbr(b: MBR, stripRes: Int, fineRes: Int,
+                      maxRanges: Int = 512): Seq[(Long, Long)] = {
+    val y0 = cellY(b.minLat, stripRes); val y1 = cellY(b.maxLat, stripRes)
+    val x0 = cellX(b.minLon, fineRes); val x1 = cellX(b.maxLon, fineRes)
+    val out = (y0 to y1).map(y => ((y << 32) | x0, (y << 32) | x1))
+    if (out.size <= maxRanges) out
+    else out.grouped(math.ceil(out.size.toDouble / maxRanges).toInt)
+      .map(g => (g.head._1, g.last._2)).toSeq
+  }
+
   /** Choose a resolution so the expected rows-per-cell lands near
     * `targetRowsPerCell` — the adaptive-resolution pick from the north
     * star. At 10¹² rows and target 10⁵, this lands at r≈12. */

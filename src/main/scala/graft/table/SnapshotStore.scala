@@ -63,23 +63,34 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
                           bloomKey: Option[String] = None,
                           curve: String = "z") {
 
-  require(curve == "z" || curve == "hilbert",
-    s"unknown clustering curve '$curve' (want z | hilbert)")
+  require(curve == "z" || curve == "hilbert" || curve == "str",
+    s"unknown clustering curve '$curve' (want z | hilbert | str)")
 
-  /** Materialize the clustering key for this store's curve. Morton is the
-    * default; Hilbert (north star: "STR/Hilbert-curve bulk-load packing")
-    * keeps consecutive key values grid-adjacent, so files get tighter
-    * lat/lon bounds and fewer covering ranges per box. The curve is a
-    * WRITE-TIME property of the table: open an existing table with the
-    * curve it was written with (the key and its pruning ranges must
-    * agree; content correctness is curve-independent, spec-pinned). */
+  /** Strip resolution of the STR key (2^(zRes/2) lat strips — the
+    * fixed-key stand-in for STR's √(n/fanout) strip count); the fine
+    * within-strip lon index runs at [[CellId.MaxRes]]. Must match
+    * [[graft.geo.GeoCols.strCol]]'s layout bit-for-bit or the covering
+    * ranges stop covering. */
+  private val strStripRes = math.max(1, zRes / 2)
+
+  /** Materialize the clustering key for this store's curve — all three
+    * modes the north star names ("STR/Hilbert-curve bulk-load packing"):
+    * Morton (default), Hilbert (consecutive key values grid-adjacent →
+    * tightest file bounds, fewest covering ranges), STR (lat strips,
+    * lon-ordered within — the classic packed-R-tree layout). The curve is
+    * a WRITE-TIME property of the table, pinned in meta/table.json and
+    * validated on open (the key and its pruning ranges must agree;
+    * content correctness is curve-independent, spec-pinned). */
   private def withCurveKey(df: DataFrame): DataFrame = curve match {
     case "hilbert" => GeoCols.withHilbert(df, col("lat"), col("lon"), zRes, "__z")
+    case "str" => df.withColumn("__z",
+      GeoCols.strCol(col("lat"), col("lon"), strStripRes, CellId.MaxRes))
     case _         => df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
   }
 
   private def curveRangesForMbr(b: MBR): Seq[(Long, Long)] = curve match {
     case "hilbert" => CellId.hilbertRangesForMbr(b, zRes, maxRanges = 64)
+    case "str" => CellId.strRangesForMbr(b, strStripRes, CellId.MaxRes, maxRanges = 64)
     case _         => CellId.zRangesForMbr(b, zRes, maxRanges = 64)
   }
 

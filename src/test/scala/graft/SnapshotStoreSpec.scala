@@ -592,6 +592,33 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("str-curve store: identical content, box reads exact, pruning observable") {
+    // the third curve mode end-to-end through the table layer: if the STR
+    // covering ranges ever failed to cover a box, rows would vanish from
+    // these exact reads
+    def norm(df: org.apache.spark.sql.DataFrame) = df.select("id", "lat", "lon")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val sRoot = tmp()
+    val sSt = new SnapshotStore(spark, sRoot, curve = "str")
+    sSt.append(pts, "unit-0", numPartitions = 4)
+    assert(norm(sSt.read()._1) == norm(pts))
+    for ((_, b) <- graft.data.Fixtures.boxes.take(4)) {
+      val inB = graft.geo.GeoCols.inBox(col("lat"), col("lon"), b)
+      val (sDf, sKept, sTotal) = sSt.read(Some(b))
+      assert(norm(sDf.filter(inB)) == norm(pts.filter(inB)), s"box $b")
+      assert(sKept <= sTotal)
+    }
+    // the small demo box must skip files under the strip layout too
+    val (_, sk, stt) = sSt.read(Some(graft.data.Fixtures.demoBox))
+    assert(sk < stt, s"str demo box read $sk/$stt files — no pruning?")
+    // mismatched reopen fails fast (table meta pins the curve)
+    intercept[IllegalArgumentException] {
+      new SnapshotStore(spark, sRoot)
+    }
+    sSt.compact(numPartitions = 2)
+    assert(norm(sSt.read()._1) == norm(pts))
+  }
+
   test("hilbert-curve store: identical content, box reads exact, pruning observable") {
     def norm(df: org.apache.spark.sql.DataFrame) = df.select("id", "lat", "lon")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
