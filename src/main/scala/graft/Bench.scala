@@ -148,14 +148,25 @@ object Bench {
     // store, the number the in-sweep q10e (append + query) obscures
     val tStored =
       try {
-        val root = java.nio.file.Files.createTempDirectory("graft_bench_q10e_").toString
-        val store = new graft.table.SnapshotStore(spark, root)
-        store.append(graft.data.Points(spark, sfDir), "unit-all", numPartitions = 8)
-        val t0 = System.nanoTime()
-        graft.index.GlobalIndex.knnStored(store,
-          graft.data.Fixtures.knnPoint._1, graft.data.Fixtures.knnPoint._2,
-          graft.data.Fixtures.knnK).count()
-        (System.nanoTime() - t0) / 1e9
+        val root = java.nio.file.Files.createTempDirectory("graft_bench_q10e_")
+        try {
+          val store = new graft.table.SnapshotStore(spark, root.toString)
+          store.append(graft.data.Points(spark, sfDir), "unit-all", numPartitions = 8)
+          val t0 = System.nanoTime()
+          graft.index.GlobalIndex.knnStored(store,
+            graft.data.Fixtures.knnPoint._1, graft.data.Fixtures.knnPoint._2,
+            graft.data.Fixtures.knnK).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // delete the staged table — repeated bench loops must not
+          // accumulate full dataset copies under /tmp (the same hazard
+          // SparkEntry.tempStore's TTL purge exists for)
+          val w = java.nio.file.Files.walk(root)
+          val all = try { import scala.jdk.CollectionConverters._
+            w.iterator().asScala.toSeq } finally w.close()
+          all.reverse.foreach(p =>
+            try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+        }
       } catch { case _: Throwable => -1.0 }
     cleanup(spark)
     // the north rule's two-cluster-size criterion, evidenced in the bench

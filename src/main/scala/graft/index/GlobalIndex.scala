@@ -137,8 +137,10 @@ object GlobalIndex {
                 qLat: Double, qLon: Double, k: Int): DataFrame =
     knnStoredPruned(store, qLat, qLon, k)._1
 
-  /** [[knnStored]] + the observed (files read, total files) of its pruned
-    * candidate read, so specs can assert file skipping on the query path. */
+  /** [[knnStored]] + the observed (files read, total files) of the read
+    * that actually produced the result, so specs can assert file skipping
+    * on the query path (a fallback reports the full read's counts, never
+    * the pruned read it abandoned). */
   private[graft] def knnStoredPruned(store: graft.table.SnapshotStore,
                                      qLat: Double, qLon: Double,
                                      k: Int): (DataFrame, Int, Int) = {
@@ -148,14 +150,28 @@ object GlobalIndex {
       if (radius == Double.MaxValue) store.read()
       else store.read(Some(MBR(qLat - radius, qLon - radius,
         qLat + radius, qLon + radius)))
+    val spark = cand.sparkSession
+    import spark.implicits._
     val d2c = GeoCols.d2(col("lat"), col("lon"), qLat, qLon)
-    val audit = cand.withColumn("d2", d2c)
+    // ONE scan of the pruned files: collect the k candidate rows (k is
+    // small by contract) and audit them driver-side — re-running the
+    // top-k as a second job would double the query's cost
+    val topk = cand.withColumn("d2", d2c)
       .orderBy(col("d2"), col("id")).limit(k)
-      .agg(count(lit(1)).as("n"), max(col("d2")).as("dk")).collect()(0)
-    val sound = audit.getLong(0) >= k && !audit.isNullAt(1) &&
-      audit.getDouble(1) <= radius * radius
-    val base = if (sound) cand else store.read()._1
-    (graft.ops.SpatialOps.knnSerial(base, qLat, qLon, k), kept, total)
+      .select(col("id"), col("lat"), col("lon"), col("d2"))
+      .as[(Long, Double, Double, Double)].collect()
+    val sound = topk.length >= k && topk.nonEmpty &&
+      topk.last._4 <= radius * radius
+    if (sound)
+      (topk.zipWithIndex.toSeq
+        .map { case ((id, la, lo, d2), i) => ((i + 1).toLong, id, la, lo, d2) }
+        .toDF("rank", "id", "lat", "lon", "d2"), kept, total)
+    else {
+      // tombstone overcounts shrank the radius below provability: pay the
+      // full scan (superset-then-refine, never a wrong answer)
+      val (full, fullKept, fullTotal) = store.read()
+      (graft.ops.SpatialOps.knnSerial(full, qLat, qLon, k), fullKept, fullTotal)
+    }
   }
 
   /** Index-seeded exact kNN: one driver-side bound from the summary, ONE

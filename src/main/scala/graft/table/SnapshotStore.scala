@@ -115,20 +115,32 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       Some(MetaJson.parseTableMeta(Files.readString(tableMetaPath)))
     else None
 
-  tableMetaIfExists().foreach { case (storedCurve, storedZRes, _) =>
-    require(storedCurve == curve && storedZRes == zRes,
-      s"table at $root was written with curve=$storedCurve zRes=$storedZRes " +
-        s"but opened with curve=$curve zRes=$zRes — the clustering key and " +
-        "its pruning ranges must agree; open with the written values")
-  }
+  private def validateTableMeta(): Unit =
+    tableMetaIfExists().foreach { case (storedCurve, storedZRes, storedHistRes) =>
+      require(storedCurve == curve && storedZRes == zRes && storedHistRes == histRes,
+        s"table at $root was written with curve=$storedCurve zRes=$storedZRes " +
+          s"histRes=$storedHistRes but opened with curve=$curve zRes=$zRes " +
+          s"histRes=$histRes — the clustering key, its pruning ranges, and " +
+          "the sidecar stats grid must agree; open with the written values")
+    }
 
-  private def writeTableMeta(): Unit =
+  validateTableMeta()
+
+  /** Pin-or-validate, called from EVERY commit (not just the constructor):
+    * two stores constructed on the same empty root both pass the ctor
+    * check (no meta yet); whichever commits second must fail against the
+    * winner's pinned layout instead of landing mixed-curve files whose
+    * covering ranges silently stop covering. CREATE_NEW + re-validate
+    * closes the write-write race either way. */
+  private def writeTableMeta(): Unit = {
     if (!Files.exists(tableMetaPath)) {
       try Files.writeString(tableMetaPath,
         MetaJson.tableMetaJson(curve, zRes, histRes),
         StandardOpenOption.CREATE_NEW)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
+    validateTableMeta()
+  }
 
   def currentSnapshotId: Long =
     if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else 0L
@@ -352,7 +364,11 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * with a pushed `IN` predicate, so `lookupByKey(vs)` ==
     * `read()._1.filter(key IN vs)` always — the Bloom only changes how
     * many files the plan opens. Returns (rows, files read, total files).
-    * Sidecars are driver-read JSON (KBs) — planning costs no Spark job. */
+    * Sidecars are driver-read JSON (KBs) — planning costs no Spark job.
+    * Sidecars written by the pre-JSON format (parquet dirs) are NOT
+    * consulted: they carried pruning hints only, so reads stay correct
+    * (fail open, every unhinted file opens); one compact() regenerates
+    * current-format sidecars for the whole table. */
   def lookupByKey(values: Seq[Any], keyCol: String = ""): (DataFrame, Int, Int) = {
     val key = if (keyCol.nonEmpty) keyCol
       else bloomKey.getOrElse(throw new IllegalArgumentException(
@@ -392,7 +408,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * persisted per-unit histograms (kept at `histRes`): rolled up through
     * parent cells for coarser r, expanded to descendants for finer r.
     * Both directions yield a SUPERSET of the truly-hot set (deletes are
-    * not subtracted either) — exactly the safe side for a salting hint. */
+    * not subtracted either) — exactly the safe side for a salting hint.
+    * Histograms from the pre-JSON sidecar format are not consulted (the
+    * hint weakens to empty — joins stay correct, just unsalted); one
+    * compact() regenerates them in the current format. */
   def hotCells(r: Int, hotThreshold: Double = 0.05): Set[Long] = {
     val files = sidecarFiles(histDir)
     if (files.isEmpty) return Set.empty

@@ -276,6 +276,28 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // the correct spelling reopens and reads
     val ok = new SnapshotStore(spark, root, curve = "hilbert")
     assert(ok.read()._1.count() == 50)
+    // histRes is part of the pinned layout too: sidecar grids at mixed
+    // resolutions would merge as garbage in hotCells
+    intercept[IllegalArgumentException] {
+      new SnapshotStore(spark, root, histRes = 10, curve = "hilbert")
+    }
+  }
+
+  test("two stores on one empty root: the second committer's mismatched curve fails loudly") {
+    // both constructors pass (no table.json yet) — the pin must therefore
+    // be enforced at COMMIT time or the loser lands mixed-curve files
+    // whose covering ranges silently stop covering
+    val root = tmp()
+    val zSt = new SnapshotStore(spark, root)
+    val hSt = new SnapshotStore(spark, root, curve = "hilbert")
+    hSt.append(pts.limit(50), "h-0", numPartitions = 1) // pins hilbert
+    val e = intercept[IllegalArgumentException] {
+      zSt.append(pts.limit(50), "z-0", numPartitions = 1)
+    }
+    assert(e.getMessage.contains("curve=hilbert"))
+    // the table is intact under the pinned layout; the loser left only a
+    // vacuumable orphan unit
+    assert(new SnapshotStore(spark, root, curve = "hilbert").read()._1.count() == 50)
   }
 
   test("stored-table rangeBox (q09d path): files pruned at two scales, rows exact") {

@@ -54,10 +54,10 @@ for P in $(seq 1 "$PAIRS"); do
     leg 16 "$OUT/leg_16_p${P}.json"
     OK=$(python3 -c "
 import json
-a = json.load(open('$OUT/leg_4_p${P}.json'))
-b = json.load(open('$OUT/leg_16_p${P}.json'))
-sp = b['value'] / a['value']
-print(1 if 1.6 <= sp <= 4.4 and a['value'] >= $FLOOR4 and b['value'] >= $FLOOR16 else 0)")
+a = json.load(open('$OUT/leg_4_p${P}.json'))['value']
+b = json.load(open('$OUT/leg_16_p${P}.json'))['value']
+ok = a > 0 and b > 0 and 1.6 <= b / a <= 4.4 and a >= $FLOOR4 and b >= $FLOOR16
+print(1 if ok else 0)")
     if [ "$OK" = "1" ] || [ "$TRY" = "c" ]; then break; fi
     python3 -c "
 import json
@@ -77,9 +77,13 @@ allp, l4, l16, steals = [], [], [], []
 for p in range(1, pairs + 1):
     a = json.load(open(f"{out}/leg_4_p{p}.json"))
     b = json.load(open(f"{out}/leg_16_p{p}.json"))
-    allp.append((a["value"], b["value"]))
     l4.append(a["value"]); l16.append(b["value"])
     steals.append(max(a.get("steal_pct", -1), b.get("steal_pct", -1)))
+    # same positive-legs filter as Bench's allPairs — a degenerate run
+    # that still printed a metric line must not enter any median (and a
+    # zero leg would divide by zero below)
+    if a["value"] > 0 and b["value"] > 0:
+        allp.append((a["value"], b["value"]))
 def is_clean(p):
     sp = p[1] / p[0]
     return 1.6 <= sp <= 4.4 and p[0] >= floor4 and p[1] >= floor16
@@ -87,7 +91,8 @@ clean = [p for p in allp if is_clean(p)]
 contended = len(clean) == 0
 use = allp if contended else clean   # best-effort + flag, same as Bench
 effs = [(b / a) / 4.0 for a, b in use]
-med = sorted(effs)[len(effs) // 2]  # upper-middle, same as Bench.med
+# every pair degenerate -> no estimable efficiency at all (Bench med([]) = -1)
+med = sorted(effs)[len(effs) // 2] if effs else -1.0
 print(json.dumps({"metric": "scaling_efficiency", "unit": "ratio",
   "value": round(med, 4), "contended": contended,
   "clean_pairs": len(clean),
