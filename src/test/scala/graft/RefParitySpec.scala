@@ -178,4 +178,31 @@ class RefParitySpec extends AnyFunSuite {
       assert(ourCoords == refCoords)
     }
   }
+
+  test("stored-table parity vs reference: manifest-pruned range + persisted-summary kNN") {
+    // the round-4 stored-table operators against the compiled reference
+    // itself: range through store.read(Some(box)) (file pruning + Z-range
+    // skip — the file-level analog of RStarTree.java:426's subtree cut)
+    // and kNN planned from the write-time index sidecars
+    val points = mkPoints(4000, seed = 41L)
+    val byId = points.map(p => p._1 -> (p._2, p._3)).toMap
+    val ref = new RefTree(points, bulk = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_refparity_store").toString
+    val store = new graft.table.SnapshotStore(spark, root)
+    store.append(toDf(points), "unit-all", numPartitions = 8)
+    for (b <- boxes) {
+      val refIds = ref.range(b).sorted
+      val got = SpatialOps.rangeBox(store.read(Some(b))._1, b,
+          SpatialOps.resolveRes(store, Seq(b)))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == refIds, s"box $b")
+    }
+    for ((qla, qlo, k) <- Seq((40.5979, 22.9645, 5), (40.5979, 22.9645, 60),
+                              (0.0, 0.0, 10))) {
+      val refD = ref.knn(qla, qlo, k).map(id => d2(byId(id), qla, qlo)).sorted
+      val ourD = graft.index.GlobalIndex.knnStored(store, qla, qlo, k)
+        .select("id").collect().map(r => d2(byId(r.getLong(0)), qla, qlo)).sorted.toSeq
+      assert(ourD == refD, s"q=($qla,$qlo) k=$k")
+    }
+  }
 }
