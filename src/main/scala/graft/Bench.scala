@@ -14,11 +14,27 @@ import org.apache.spark.sql.SparkSession
   *     followed it, one q05 median hit 93 s at 4 cores);
   *  3. run every driver query `Reps` times and report the per-query
   *     MEDIAN, clearing session caches and temp views between queries so
-  *     one query's leftovers never tax the next.
+  *     one query's leftovers never tax the next. Queries whose first rep
+  *     is ≥ `SlowCutoffS` get one fewer rep (median of 2 = mean of the
+  *     two) — round 4's 5-pair scaling protocol overran the driver's
+  *     harness timeout and the all-at-the-end artifact line lost even the
+  *     completed sweep, so round 5 trades a rep on the slow storage /
+  *     streaming queries for scaling headroom;
+  *  4. WALL-CLOCK BUDGET (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1800 s):
+  *     the artifact JSON line is printed TWICE — once right after the
+  *     sweep + headlines (scaling fields empty, `scaling_truncated`
+  *     true), once as the final superset after scaling. The driver
+  *     parses the LAST `"metric"` line, so a harness timeout mid-scaling
+  *     now yields the completed sweep instead of rc=124 with nothing
+  *     (round 4's failure mode). Scaling pairs and retries stop when the
+  *     remaining budget can't fit another pair (estimated from the last
+  *     measured pair), flagged `scaling_truncated`.
   */
 object Bench {
 
   val Reps = 3
+  /** First-rep threshold above which a query runs Reps-1 reps (step 3). */
+  val SlowCutoffS = 3.0
 
   private def cleanup(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
@@ -73,6 +89,9 @@ object Bench {
       "SPARK_GRAFT_SCALE_ITERS" -> iters.toString))
 
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1800").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -111,7 +130,7 @@ object Bench {
       if (v > 0) (300000000L, v) else (0L, -1.0)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
@@ -119,7 +138,17 @@ object Bench {
         cleanup(spark)
         if (ok) dt else -1.0
       }
-      val med = if (times.contains(-1.0)) -1.0 else times.sorted.apply(Reps / 2)
+      // adaptive rep count (protocol step 3): a ≥3 s first rep buys one
+      // fewer rep — the slow set is storage/streaming queries whose cost
+      // is a data rewrite or micro-batch machinery, not JIT noise
+      val first = rep()
+      val nReps = if (first >= SlowCutoffS) Reps - 1 else Reps
+      val times = first +: (2 to nReps).map(_ => rep())
+      val sorted = times.sorted
+      val med =
+        if (times.contains(-1.0)) -1.0
+        else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -185,7 +214,10 @@ object Bench {
     // efficiencies 0.88/0.84/0.61 while the cross-pair level-median
     // ratio read 0.62). Raw legs are published alongside.
     val scRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "1000000000").toLong
-    val scPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "5").toInt
+    // 3 pairs by default (round-4 ADVICE: 5 pairs + 2 retries each at 1e9
+    // rows predictably overran the driver's harness timeout — rc=124,
+    // artifact lost); raise via env for publication runs
+    val scPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "3").toInt
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     // Cleanliness test, two independent criteria (both published):
@@ -223,38 +255,62 @@ object Bench {
     def aboveFloor(p: (Double, Double)): Boolean =
       p._1 >= floor4 && p._2 >= floor16
     def clean(p: (Double, Double)): Boolean = inWindow(p) && aboveFloor(p)
-    def cleanPair(retriesLeft: Int): (Double, Double) = {
-      val a = scalingLeg(4, scRows); val sa = lastSteal
-      val b = scalingLeg(16, scRows); val sb = lastSteal
-      val p = (a, b)
-      if (!clean(p) && p._1 > 0 && p._2 > 0 && retriesLeft > 0) {
-        rejected += ((a, b, math.max(sa, sb))); cleanPair(retriesLeft - 1)
-      } else { steals += math.max(sa, sb); p }
+
+    /** The artifact line — printed after the sweep (scaling empty,
+      * truncated=true) and again as the final superset after scaling.
+      * The driver takes the LAST `"metric"` line, so a harness timeout
+      * between the two prints still lands the sweep + headlines. */
+    def emit(legs4: Seq[Double], legs16: Seq[Double], truncated: Boolean): Unit = {
+      val (effN, eff4N) = (med(legs4.filter(_ > 0)), med(legs16.filter(_ > 0)))
+      val allPairs = legs4.zip(legs16).filter { case (a, b) => a > 0 && b > 0 }
+      val pairEffs = allPairs.map { case (a, b) => (b / a) / 4.0 }
+      // the estimator uses only clean pairs: a pair still degenerate AFTER
+      // its retries means the starvation outlasted the retry budget —
+      // apparatus state, not engine scaling (measured: a minutes-long
+      // window where every 16c leg ran at 4c speed). If NO pair survives,
+      // the whole sample is contended: report the best-effort median and
+      // FLAG it, with per-pair hypervisor steal published, so apparatus
+      // failure cannot read as an engine number.
+      val cleanPairs = allPairs.filter(clean)
+      val contended = cleanPairs.isEmpty && allPairs.nonEmpty
+      val eff = med((if (contended) allPairs else cleanPairs)
+        .map { case (a, b) => (b / a) / 4.0 })
+      def arr(xs: Seq[Double]) = xs.map("%.1f".format(_)).mkString("[", ",", "]")
+      def arr4(xs: Seq[Double]) = xs.map("%.4f".format(_)).mkString("[", ",", "]")
+      val rejStr = rejected.map(p =>
+        s"[${"%.1f".format(p._1)},${"%.1f".format(p._2)},${"%.4f".format(p._3)}]")
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","elapsed_sec":${"%.1f".format(elapsedS)},"budget_sec":${"%.1f".format(budgetS)},"image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_truncated":$truncated,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
+      System.out.flush()
     }
-    val (legs4, legs16) =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1"))
-        (Seq.empty[Double], Seq.empty[Double])
-      else (1 to scPairs).map(_ => cleanPair(retriesLeft = 2)).unzip
-    val (effN, eff4N) = (med(legs4.filter(_ > 0)), med(legs16.filter(_ > 0)))
-    val allPairs = legs4.zip(legs16).filter { case (a, b) => a > 0 && b > 0 }
-    val pairEffs = allPairs.map { case (a, b) => (b / a) / 4.0 }
-    // the estimator uses only clean pairs: a pair still degenerate AFTER
-    // its retries means the starvation outlasted the retry budget —
-    // apparatus state, not engine scaling (measured: a minutes-long window
-    // where every 16c leg ran at 4c speed). If NO pair survives, the whole
-    // sample is contended: report the best-effort median and FLAG it, with
-    // per-pair hypervisor steal published, so apparatus failure cannot
-    // read as an engine number.
-    val cleanPairs = allPairs.filter(clean)
-    val contended = cleanPairs.isEmpty && allPairs.nonEmpty
-    val eff = med((if (contended) allPairs else cleanPairs)
-      .map { case (a, b) => (b / a) / 4.0 })
-    def arr(xs: Seq[Double]) = xs.map("%.1f".format(_)).mkString("[", ",", "]")
-    def arr4(xs: Seq[Double]) = xs.map("%.4f".format(_)).mkString("[", ",", "]")
-    val rejStr = rejected.map(p =>
-      s"[${"%.1f".format(p._1)},${"%.1f".format(p._2)},${"%.4f".format(p._3)}]")
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
+
+    // checkpoint artifact: everything measured so far survives a timeout
+    emit(Seq.empty, Seq.empty, truncated = true)
+
+    // budget-aware scaling: a pair (or retry) only starts if the remaining
+    // wall budget fits it, estimated from the slowest pair measured so far
+    // (round-4 "what's wrong" #3: retries recursing on the same count with
+    // no global stopwatch is exactly the shape that ate the driver budget)
+    var lastPairS = 0.0
+    def fits(): Boolean = budgetS - elapsedS > math.max(lastPairS * 1.2, 120.0)
+    def cleanPair(retriesLeft: Int): Option[(Double, Double)] =
+      if (!fits()) None
+      else {
+        val t0 = System.nanoTime()
+        val a = scalingLeg(4, scRows); val sa = lastSteal
+        val b = scalingLeg(16, scRows); val sb = lastSteal
+        lastPairS = math.max(lastPairS, (System.nanoTime() - t0) / 1e9)
+        val p = (a, b)
+        if (!clean(p) && p._1 > 0 && p._2 > 0 && retriesLeft > 0 && fits()) {
+          rejected += ((a, b, math.max(sa, sb))); cleanPair(retriesLeft - 1)
+        } else { steals += math.max(sa, sb); Some(p) }
+      }
+    val pairsRun =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) Seq.empty
+      else (1 to scPairs).flatMap(_ => cleanPair(retriesLeft = 2))
+    val (legs4, legs16) = pairsRun.unzip
+    emit(legs4, legs16, truncated = legs4.size < scPairs &&
+      !sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1"))
     spark.stop()
   }
 }

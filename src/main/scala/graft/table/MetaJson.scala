@@ -41,17 +41,29 @@ object MetaJson {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** Additive schema evolution: every field except the identity pair
+    * (path, rows) reads through a default, so manifests written BEFORE a
+    * field existed still parse after it's added — the same contract the
+    * legacy parquet manifest path gives kind/seq. Geometric stats default
+    * to the fail-open full range (a pruner may only skip a file it can
+    * PROVE disjoint; unknown stats must never skip). */
   def parseManifest(json: String): Seq[FileEntry] = {
     val root = mapper.readTree(json)
     val arr = root.get("entries").asInstanceOf[ArrayNode]
+    def l(o: com.fasterxml.jackson.databind.JsonNode, n: String, d: Long) =
+      Option(o.get(n)).map(_.asLong()).getOrElse(d)
+    def d(o: com.fasterxml.jackson.databind.JsonNode, n: String, dv: Double) =
+      Option(o.get(n)).map(_.asDouble()).getOrElse(dv)
+    def s(o: com.fasterxml.jackson.databind.JsonNode, n: String, dv: String) =
+      Option(o.get(n)).map(_.asText()).getOrElse(dv)
     (0 until arr.size()).map { i =>
       val o = arr.get(i)
       FileEntry(o.get("path").asText(), o.get("rows").asLong(),
-        o.get("minZ").asLong(), o.get("maxZ").asLong(),
-        o.get("minLat").asDouble(), o.get("maxLat").asDouble(),
-        o.get("minLon").asDouble(), o.get("maxLon").asDouble(),
-        o.get("lineageId").asText(), o.get("wallMs").asLong(),
-        o.get("kind").asText(), o.get("seq").asLong())
+        l(o, "minZ", Long.MinValue), l(o, "maxZ", Long.MaxValue),
+        d(o, "minLat", -Double.MaxValue), d(o, "maxLat", Double.MaxValue),
+        d(o, "minLon", -Double.MaxValue), d(o, "maxLon", Double.MaxValue),
+        s(o, "lineageId", ""), l(o, "wallMs", 0L),
+        s(o, "kind", "data"), l(o, "seq", 0L))
     }
   }
 

@@ -126,6 +126,22 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
 
   validateTableMeta()
 
+  // Legacy-open hazard (round-4 ADVICE): a table written by the pre-pin
+  // format has committed snapshots but no meta/table.json. Auto-pinning at
+  // the next commit would enshrine the OPENER's possibly-wrong curve as
+  // authoritative — after which the CORRECT spelling fails validation
+  // forever, and reads meanwhile silently drop rows. Refuse the implicit
+  // migration: the owner must assert the written layout explicitly via
+  // SnapshotStore.pinLegacyLayout before this table is usable again.
+  if (currentSnapshotId > 0 && tableMetaIfExists().isEmpty)
+    throw new IllegalStateException(
+      s"table at $root has committed snapshots but no meta/table.json " +
+        "(pre-pin legacy format). Opening it would pin THIS session's " +
+        s"layout (curve=$curve zRes=$zRes histRes=$histRes) as " +
+        "authoritative even if the data was written differently. Run " +
+        "SnapshotStore.pinLegacyLayout(root, curve, zRes, histRes) with " +
+        "the layout the table was WRITTEN with, then reopen.")
+
   /** Pin-or-validate, called from EVERY commit (not just the constructor):
     * two stores constructed on the same empty root both pass the ctor
     * check (no meta yet); whichever commits second must fail against the
@@ -843,4 +859,24 @@ object SnapshotStore {
   def normalizePath(p: String): String =
     if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
     else p
+
+  /** Explicit migration for a pre-pin legacy table (committed snapshots,
+    * no meta/table.json): the OWNER asserts the layout the data was
+    * written with, and only then does the table open again. This is the
+    * only path that pins a layout onto existing data — the constructor
+    * refuses to, because auto-pinning the opener's possibly-wrong curve
+    * would make the correct spelling fail validation forever while reads
+    * silently drop rows. Refuses to overwrite an existing pin. */
+  def pinLegacyLayout(root: String, curve: String, zRes: Int = 12,
+                      histRes: Int = 8): Unit = {
+    val metaPath = Paths.get(root, "meta", "table.json")
+    require(!Files.exists(metaPath),
+      s"table at $root already has a pinned layout; refusing to overwrite")
+    require(Files.exists(Paths.get(root, "meta", "current")),
+      s"table at $root has no committed snapshots; just open it normally " +
+        "and the first commit will pin the layout")
+    Files.createDirectories(metaPath.getParent)
+    Files.writeString(metaPath, MetaJson.tableMetaJson(curve, zRes, histRes),
+      StandardOpenOption.CREATE_NEW)
+  }
 }

@@ -80,4 +80,25 @@ class MetaJsonSpec extends AnyFunSuite {
     assert(MetaJson.parseTableMeta(MetaJson.tableMetaJson("hilbert", 12, 8)) ==
       (("hilbert", 12, 8)))
   }
+
+  test("manifest JSON is additively evolvable: old manifests missing new fields parse with safe defaults") {
+    // round-4 ADVICE: a manifest written BEFORE a FileEntry field existed
+    // must still parse after the field is added — same contract the legacy
+    // parquet path gives kind/seq. Geometric stats default to the
+    // fail-open full range (a pruner may only skip a file it can PROVE
+    // disjoint; unknown stats must never skip).
+    val minimal =
+      """{"entries":[{"path":"data/u-0/part-0.parquet","rows":42}]}"""
+    val Seq(e) = MetaJson.parseManifest(minimal)
+    assert(e.path == "data/u-0/part-0.parquet" && e.rows == 42L)
+    assert(e.minZ == Long.MinValue && e.maxZ == Long.MaxValue)
+    assert(e.minLat == -Double.MaxValue && e.maxLat == Double.MaxValue)
+    assert(e.minLon == -Double.MaxValue && e.maxLon == Double.MaxValue)
+    assert(e.kind == "data" && e.seq == 0L && e.lineageId == "" && e.wallMs == 0L)
+    // unknown EXTRA fields from a future writer are ignored, not fatal
+    val future =
+      """{"entries":[{"path":"p","rows":1,"kind":"delete","seq":9,"futureField":{"x":1}}]}"""
+    val Seq(f) = MetaJson.parseManifest(future)
+    assert(f.kind == "delete" && f.seq == 9L)
+  }
 }

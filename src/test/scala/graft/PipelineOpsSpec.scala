@@ -336,13 +336,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       // (and re-arms the key's timeout)
       ms.addData((9L, "X"))
       assert(awaitRows(4).contains((9L, 3L, false)))
-      // REAL-CLOCK planted expiry: no data arrives; the engine's
-      // self-triggered batches run the timeout sweep and evict the state
-      Thread.sleep(ttlMs + 3000)
-      // fresh window: the same content re-appearing elects a NEW keeper —
-      // without the TTL this would be (13, 3, false)
-      ms.addData((13L, "X"))
-      assert(awaitRows(5).contains((13L, 13L, true)))
+      // REAL-CLOCK planted expiry, POLLED (round-4 ADVICE): on a loaded
+      // host the timeout sweep can fire late, so a single post-sleep
+      // assert is nondeterministic. Probe until a fresh keeper appears —
+      // a probe that lands BEFORE eviction joins the old window (and
+      // re-arms the key), so wait a full TTL between probes. Without the
+      // TTL every probe would read (id, 3, false) and the deadline fails
+      // the test.
+      val evictDeadline = System.currentTimeMillis() + 110000
+      var probeId = 13L
+      var fresh = false
+      while (!fresh) {
+        Thread.sleep(ttlMs + 1500)
+        val n0 = rowsNow().size
+        ms.addData((probeId, "X"))
+        val row = awaitRows(n0 + 1).find(_._1 == probeId).get
+        if (row == ((probeId, probeId, true))) fresh = true
+        else {
+          // old keeper still alive: the probe itself re-armed the key
+          assert(row == ((probeId, 3L, false)), s"unexpected probe row $row")
+          assert(System.currentTimeMillis() < evictDeadline,
+            "TTL eviction never observed")
+          probeId += 2
+        }
+      }
     } finally q.stop()
   }
 

@@ -283,6 +283,35 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy table (snapshots, no table.json): open refuses; pinLegacyLayout migrates explicitly") {
+    // round-4 ADVICE: auto-pinning at the next commit would enshrine the
+    // OPENER's possibly-wrong curve as authoritative — after which the
+    // CORRECT spelling fails validation forever, and reads meanwhile
+    // silently drop rows. The constructor must refuse; only an explicit
+    // owner-asserted migration reopens the table.
+    val root = tmp()
+    val st = new SnapshotStore(spark, root, curve = "hilbert")
+    st.append(pts.limit(50), "u-0", numPartitions = 2)
+    Files.delete(java.nio.file.Paths.get(root, "meta", "table.json"))
+    // ANY open — even the correct spelling — refuses: nothing on disk can
+    // prove which spelling is correct
+    val e = intercept[IllegalStateException] {
+      new SnapshotStore(spark, root, curve = "hilbert")
+    }
+    assert(e.getMessage.contains("pinLegacyLayout"))
+    intercept[IllegalStateException] { new SnapshotStore(spark, root) }
+    // the owner asserts the WRITTEN layout; the table reopens and reads
+    SnapshotStore.pinLegacyLayout(root, "hilbert")
+    val ok = new SnapshotStore(spark, root, curve = "hilbert")
+    assert(ok.read()._1.count() == 50)
+    // the pin is now authoritative: wrong spellings fail the normal way
+    intercept[IllegalArgumentException] { new SnapshotStore(spark, root) }
+    // and the migration path refuses to overwrite an existing pin
+    intercept[IllegalArgumentException] {
+      SnapshotStore.pinLegacyLayout(root, "z")
+    }
+  }
+
   test("two stores on one empty root: the second committer's mismatched curve fails loudly") {
     // both constructors pass (no table.json yet) — the pin must therefore
     // be enforced at COMMIT time or the loser lands mixed-curve files
