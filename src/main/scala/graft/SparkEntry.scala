@@ -117,6 +117,17 @@ object SparkEntry {
         SpatialOps.resolveRes(store, Seq(b)))
     }),
     "q09b_range_join" -> ((s, dir) => SpatialOps.boxJoin(Points(s, dir), Fixtures.boxes)),
+    // the multi-box JOIN through the STORED table (round-4 verdict ask
+    // #3): probe side = ONE readBoxes plan — files disjoint from every
+    // box never open, merged curve-range disjunction skips row groups —
+    // then the same boxJoin operator refines exactly; same oracle as q09b
+    "q09e_boxjoin_stored" -> ((s, dir) => {
+      val root = tempStore("graft_q09e_")
+      val store = new graft.table.SnapshotStore(s, root)
+      store.append(Points(s, dir), "unit-all", numPartitions = 8)
+      SpatialOps.boxJoin(store.readBoxes(Fixtures.boxes.map(_._2))._1,
+        Fixtures.boxes, SpatialOps.resolveRes(store, Fixtures.boxes.map(_._2)))
+    }),
     "q10_knn_ring" -> ((s, dir) => SpatialOps.knnRing(Points(s, dir),
       Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)),
     "q10b_knn_join" -> ((s, dir) => SpatialOps.knnJoinAgg(Points(s, dir),
@@ -269,6 +280,17 @@ object SparkEntry {
       graft.index.GlobalIndex.knnStored(store,
         Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)
     }),
+    // kNN JOIN over the STORED table from the persisted summaries
+    // (round-4 verdict ask #5): per-query radius bounds from ONE
+    // zero-rebuild fromStore index → one multi-ball pruned read →
+    // per-query top-k; same oracle as q10b
+    "q10f_knnjoin_stored" -> ((s, dir) => {
+      val root = tempStore("graft_q10f_")
+      val store = new graft.table.SnapshotStore(s, root)
+      store.append(Points(s, dir), "unit-all", numPartitions = 8)
+      graft.index.GlobalIndex.knnJoinStored(store,
+        Fixtures.knnQueries, Fixtures.knnJoinK)
+    }),
     // --- multimodal (image payload) ops over the deterministic table ---
     "q40_image_decode" -> ((s, _) =>
       graft.ops.ImageOps.decodeStats(graft.data.Synth.table(s, 500).toDF()).toDF()),
@@ -419,6 +441,8 @@ object SparkEntry {
     "q09d_range_stored" -> OracleSql.rangeBox(Fixtures.boxes.head._2),
     "q10e_knn_stored" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
     "q09b_range_join" -> OracleSql.boxJoin(Fixtures.boxes),
+    "q09e_boxjoin_stored" -> OracleSql.boxJoin(Fixtures.boxes),
+    "q10f_knnjoin_stored" -> OracleSql.knnJoin(Fixtures.knnQueries, Fixtures.knnJoinK),
     "q10_knn_ring" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
     "q10b_knn_join" -> OracleSql.knnJoin(Fixtures.knnQueries, Fixtures.knnJoinK),
     "q11_skyline" -> OracleSql.skyline,

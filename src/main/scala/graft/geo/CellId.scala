@@ -209,6 +209,41 @@ object CellId {
     zRangesForBox(cellY(b.minLat, r), cellY(b.maxLat, r),
       cellX(b.minLon, r), cellX(b.maxLon, r), r, maxRanges)
 
+  /** Merge an ARBITRARY collection of [lo,hi] key ranges — the union of
+    * per-geometry coverings for a multi-box stored read — into a sorted,
+    * disjoint covering of at most `maxRanges` ranges: sort, fold
+    * overlapping/adjacent neighbors, then coalesce across the smallest
+    * gaps (same coarsening as [[zRangesForBox]]). The output covers the
+    * input union, so it stays a valid PRUNING predicate (a superset —
+    * exact refine always follows); capping the count keeps the pushed
+    * disjunction a few hundred BETWEENs regardless of geometry count. */
+  def mergeRanges(ranges: Seq[(Long, Long)],
+                  maxRanges: Int = 512): Seq[(Long, Long)] = {
+    if (ranges.isEmpty) return Seq.empty
+    val sorted = ranges.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer(sorted.head)
+    sorted.drop(1).foreach { nxt =>
+      val (llo, lhi) = out.last
+      if (nxt._1 <= lhi || nxt._1 == lhi + 1)
+        out(out.length - 1) = (llo, math.max(lhi, nxt._2))
+      else out += nxt
+    }
+    if (out.size <= maxRanges) out.toSeq
+    else {
+      val gaps = out.sliding(2).map(p => p(1)._1 - p(0)._2).toArray.sorted
+      val cut = gaps(out.size - maxRanges - 1)
+      val merged = scala.collection.mutable.ArrayBuffer(out.head)
+      var budgetLeft = out.size - maxRanges
+      out.drop(1).foreach { nxt =>
+        val gap = nxt._1 - merged.last._2
+        if (gap <= cut && budgetLeft > 0) {
+          merged(merged.length - 1) = (merged.last._1, nxt._2); budgetLeft -= 1
+        } else merged += nxt
+      }
+      merged.toSeq
+    }
+  }
+
   // ---- Hilbert curve — alternative clustering key ----
   //
   // The north star names "STR/Hilbert-curve bulk-load packing" explicitly.

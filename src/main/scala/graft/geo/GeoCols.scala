@@ -104,8 +104,17 @@ object GeoCols {
     * covering region is a rectangle in (y, x). */
   def zRangePredicate(zc: Column, ranges: Seq[(Long, Long)]): Column =
     if (ranges.isEmpty) lit(false)
-    else ranges.map { case (lo, hi) => zc >= lit(lo) && zc <= lit(hi) }
-      .reduce(_ || _)
+    else {
+      // BALANCED Or tree, not reduce(_ || _): a left-nested chain of a few
+      // hundred ranges (a multi-box readBoxes covering) overflows the
+      // column-to-expression converter's stack; depth log2(n) never does
+      def balance(cols: IndexedSeq[Column]): Column =
+        if (cols.size == 1) cols.head
+        else balance(cols.grouped(2)
+          .map(g => if (g.size == 2) g(0) || g(1) else g(0)).toIndexedSeq)
+      balance(ranges.toIndexedSeq
+        .map { case (lo, hi) => zc >= lit(lo) && zc <= lit(hi) })
+    }
 
   /** Covering-region prune as a rectangle in grid coordinates: four
     * comparisons on two small floor expressions — the computed-column twin

@@ -174,6 +174,85 @@ object GlobalIndex {
     }
   }
 
+  /** Exact kNN JOIN over a STORED table, planned from the persisted index
+    * summaries (round-4 verdict ask #5 — [[knnStored]] generalized to a
+    * query SET): one driver-side radius bound PER QUERY from the zero-scan
+    * [[fromStore]] index → ONE multi-box manifest-pruned read over the
+    * union of the query balls ([[graft.table.SnapshotStore.readBoxes]] —
+    * files disjoint from every ball never open) → broadcast the tiny
+    * (q_id, center, radius) set, join candidates to the queries whose box
+    * contains them, per-query top-k window. Same output as
+    * [[graft.ops.SpatialOps.knnJoinAgg]] (q_id, rank, id).
+    *
+    * Exactness: each query's candidates are a superset of its radius box,
+    * and the seed radius provably bounds the kth distance — re-audited per
+    * query against the live rows (count ≥ k, kth distance ≤ radius²)
+    * because tombstones make sidecar counts an overcount; failed queries
+    * fall back to the dense join over the full table, never a wrong
+    * answer. */
+  def knnJoinStored(store: graft.table.SnapshotStore,
+                    queries: Seq[(Int, Double, Double)], k: Int): DataFrame =
+    knnJoinStoredPruned(store, queries, k)._1
+
+  /** [[knnJoinStored]] + the observed (files read, total files) so specs
+    * can assert file skipping on the join path. */
+  private[graft] def knnJoinStoredPruned(store: graft.table.SnapshotStore,
+                                         queries: Seq[(Int, Double, Double)],
+                                         k: Int): (DataFrame, Int, Int) = {
+    require(queries.nonEmpty, "knnJoinStored needs at least one query")
+    val gi = fromStore(store)
+    val bounds = queries.map { case (qid, qla, qlo) =>
+      (qid, qla, qlo, gi.knnSeedRadius(qla, qlo, k))
+    }
+    if (bounds.exists(_._4 == Double.MaxValue)) {
+      // fewer than k rows in the summaries: no ball bounds anything —
+      // the dense join over the full table IS the plan
+      val (full, kept, total) = store.read()
+      return (graft.ops.SpatialOps.knnJoinAgg(full, queries, k), kept, total)
+    }
+    val boxes = bounds.map { case (_, qla, qlo, rad) =>
+      MBR(qla - rad, qlo - rad, qla + rad, qlo + rad)
+    }
+    val (cand, kept, total) = store.readBoxes(boxes)
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val q = bounds.toDF("q_id", "qlat", "qlon", "rad")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
+    // broadcast nested-loop on the box containment predicate: the query
+    // side is tiny by contract and the candidate side is already pruned
+    // to the union of the balls (the |Q|-scale equi-join twin is
+    // SpatialOps.knnJoinPruned; this operator's point is the FILE skip)
+    val pruned = cand.join(broadcast(q),
+        col("lat") >= col("qlat") - col("rad") &&
+        col("lat") <= col("qlat") + col("rad") &&
+        col("lon") >= col("qlon") - col("rad") &&
+        col("lon") <= col("qlon") + col("rad"))
+      .withColumn("d2", GeoCols.d2Cols(col("lat"), col("lon"),
+        col("qlat"), col("qlon")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perQ = pruned.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max(col("d2")).as("dk"),
+        first(col("rad")).as("rad"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val bad = queries.map(_._1).filter { qid =>
+      perQ.get(qid) match {
+        case None                => true // ball held zero live rows
+        case Some((n, dk, rad))  => n < k || dk > rad * rad
+      }
+    }.toSet
+    val exactPart = pruned.filter(!col("q_id").isin(bad.toSeq: _*))
+      .select(col("q_id"), col("rank"), col("id"))
+    val out =
+      if (bad.isEmpty) exactPart
+      else exactPart.unionAll(graft.ops.SpatialOps.knnJoinAgg(
+        store.read()._1, queries.filter(qq => bad.contains(qq._1)), k))
+    (graft.ops.OpUtil.finish(out, pruned), kept, total)
+  }
+
   /** Index-seeded exact kNN: one driver-side bound from the summary, ONE
     * Spark job over the pruned cell ring (vs. the iterative probe loop of
     * SpatialOps.knnRing). Exact: the seed radius provably contains >= k

@@ -258,4 +258,32 @@ class GeoSpec extends AnyFunSuite {
     }
     assert(hTotal < zTotal, s"hilbert $hTotal vs morton $zTotal")
   }
+
+  test("mergeRanges: covers the input union, sorted+disjoint, cap respected") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 50) {
+      val ranges = (0 until rng.nextInt(40) + 1).map { _ =>
+        val lo = rng.nextLong(1000000)
+        (lo, lo + rng.nextLong(5000))
+      }
+      val cap = rng.nextInt(8) + 2
+      val merged = CellId.mergeRanges(ranges, cap)
+      assert(merged.size <= cap, s"trial $trial: ${merged.size} > cap $cap")
+      // sorted and disjoint (no overlap, not even adjacency)
+      merged.sliding(2).foreach { w =>
+        if (w.size == 2) assert(w(0)._2 + 1 < w(1)._1, s"trial $trial: $w")
+      }
+      // superset covering: every input value is inside some merged range
+      ranges.foreach { case (lo, hi) =>
+        Seq(lo, hi, (lo + hi) / 2).foreach { v =>
+          assert(merged.exists(m => m._1 <= v && v <= m._2),
+            s"trial $trial: $v from ($lo,$hi) uncovered")
+        }
+      }
+    }
+    assert(CellId.mergeRanges(Seq.empty) == Seq.empty)
+    // adjacent ranges fold even under no pressure
+    assert(CellId.mergeRanges(Seq((0L, 4L), (5L, 9L), (20L, 30L)), 512) ==
+      Seq((0L, 9L), (20L, 30L)))
+  }
 }
