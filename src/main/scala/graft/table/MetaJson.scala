@@ -19,6 +19,15 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * `±Double.MaxValue` — the fail-open stats sentinel — included). NaN never
   * reaches these files: manifest stats fail open to the full range instead.
   */
+/** One shard row of a two-level manifest LIST: where the shard file is,
+  * how many data entries it holds, and the union bounds (curve-key and
+  * lat/lon) of those entries — everything a planner needs to decide
+  * whether to download the shard at all. */
+final case class ShardMeta(path: String, entries: Int,
+                           minZ: Long, maxZ: Long,
+                           minLat: Double, maxLat: Double,
+                           minLon: Double, maxLon: Double)
+
 object MetaJson {
 
   private val mapper = new ObjectMapper()
@@ -65,6 +74,52 @@ object MetaJson {
         s(o, "lineageId", ""), l(o, "wallMs", 0L),
         s(o, "kind", "data"), l(o, "seq", 0L))
     }
+  }
+
+  /** Two-level manifest LIST (the Iceberg shape at the 10⁶-file design
+    * point): `shards` rows point at per-shard manifest files with union
+    * Z / lat-lon bounds so a box read downloads only overlapping shards;
+    * `entries` holds the few non-data rows INLINE (delete tombstone
+    * manifests + lineage markers), which every plan needs regardless of
+    * the box. A flat manifest is the same document with no `shards`
+    * node — one parser reads both. */
+  def manifestListJson(shards: Seq[ShardMeta], inline: Seq[FileEntry]): String = {
+    val root = mapper.createObjectNode()
+    val sArr = root.putArray("shards")
+    shards.foreach { sm =>
+      val o = sArr.addObject()
+      o.put("path", sm.path); o.put("entries", sm.entries)
+      o.put("minZ", sm.minZ); o.put("maxZ", sm.maxZ)
+      o.put("minLat", sm.minLat); o.put("maxLat", sm.maxLat)
+      o.put("minLon", sm.minLon); o.put("maxLon", sm.maxLon)
+    }
+    val eArr = root.putArray("entries")
+    inline.foreach(e => eArr.add(entryNode(e)))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Parse either manifest form: (shards, inline entries). Flat manifests
+    * come back as (empty, all entries). Shard bounds read through the
+    * same fail-open defaults as entry stats — an unknown bound makes the
+    * shard un-prunable, never silently skipped. */
+  def parseManifestRoot(json: String): (Seq[ShardMeta], Seq[FileEntry]) = {
+    val root = mapper.readTree(json)
+    val entries = parseManifest(json)
+    val shardsNode = Option(root.get("shards")).map(_.asInstanceOf[ArrayNode])
+    val shards = shardsNode.map { arr =>
+      def l(o: com.fasterxml.jackson.databind.JsonNode, n: String, d: Long) =
+        Option(o.get(n)).map(_.asLong()).getOrElse(d)
+      def d(o: com.fasterxml.jackson.databind.JsonNode, n: String, dv: Double) =
+        Option(o.get(n)).map(_.asDouble()).getOrElse(dv)
+      (0 until arr.size()).map { i =>
+        val o = arr.get(i)
+        ShardMeta(o.get("path").asText(), o.get("entries").asInt(),
+          l(o, "minZ", Long.MinValue), l(o, "maxZ", Long.MaxValue),
+          d(o, "minLat", -Double.MaxValue), d(o, "maxLat", Double.MaxValue),
+          d(o, "minLon", -Double.MaxValue), d(o, "maxLon", Double.MaxValue))
+      }
+    }.getOrElse(Seq.empty)
+    (shards, entries)
   }
 
   def tableMetaJson(curve: String, zRes: Int, histRes: Int): String = {

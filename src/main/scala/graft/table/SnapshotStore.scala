@@ -48,20 +48,25 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   * wall-clock metrics make multi-unit jobs resumable: a rerun skips units
   * already present in the current snapshot ([[resumableRun]]).
   *
-  * Scale note — manifest size: one flat manifest is O(file count); at the
+  * Scale note — manifest size: a flat manifest is O(file count); at the
   * 10¹²-row design point (~10⁶ files of ~100 MB) that is a few hundred MB
-  * of driver-side JSON — readable, but the right shape there is Iceberg's
-  * two levels (a manifest LIST whose entries carry per-manifest Z-range
-  * bounds, so a box query downloads only overlapping manifest shards).
-  * The seam is [[manifest]]/`commit`: both already treat the manifest as
-  * an opaque `Seq[FileEntry]` keyed by snapshot id, so sharding by Z
-  * range (or swapping real Iceberg in) changes no caller. Compaction
-  * already bounds entry count growth between appends.
+  * of driver-side JSON per read. Past `manifestShardRows` data entries a
+  * commit therefore writes Iceberg's TWO-LEVEL shape — a manifest LIST
+  * whose rows carry per-shard Z/lat-lon union bounds, data entries sorted
+  * by minZ and chunked into shard files — and box reads download only the
+  * shards overlapping the query ([[manifestPartial]]); flat and legacy
+  * manifests still read through the same parser. Key lookups
+  * ([[lookupByKey]]) read all shards (Bloom pruning is per-entry; a
+  * key-sorted shard dimension would be the next step if lookups dominate).
+  * Compaction bounds entry-count growth between appends either way.
   */
 final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
                           histRes: Int = 8,
                           bloomKey: Option[String] = None,
-                          curve: String = "z") {
+                          curve: String = "z",
+                          manifestShardRows: Int = SnapshotStore.DefaultManifestShardRows) {
+
+  require(manifestShardRows >= 1, "manifestShardRows must be positive")
 
   require(curve == "z" || curve == "hilbert" || curve == "str",
     s"unknown clustering curve '$curve' (want z | hilbert | str)")
@@ -232,15 +237,44 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * streaming ingestion; real Iceberg's manifests are likewise
     * driver-readable, never a cluster job). Snapshots written by the old
     * parquet-dataset format still read through the legacy path below. */
-  def manifest(snapshotId: Long = currentSnapshotId): Seq[FileEntry] = {
-    if (snapshotId == 0) Seq.empty
+  def manifest(snapshotId: Long = currentSnapshotId): Seq[FileEntry] =
+    manifestPartial(snapshotId, None)._1
+
+  /** Manifest read with optional SHARD pruning: when the snapshot is a
+    * two-level manifest list and `boxes` is given, only shards whose
+    * union bounds overlap some box are downloaded and parsed — at the
+    * 10⁶-file design point a box read touches a handful of shard files
+    * instead of a few hundred MB of driver-side JSON. Inline entries
+    * (delete manifests, lineage markers) always load. Returns the loaded
+    * entries plus the TOTAL data-file count of the snapshot (known from
+    * the shard rows without reading them) so pruning stays observable. */
+  private[graft] def manifestPartial(snapshotId: Long,
+                                     boxes: Option[Seq[MBR]]): (Seq[FileEntry], Int) = {
+    def dataCount(es: Seq[FileEntry]): Int =
+      es.count(e => e.kind == "data" && e.path.nonEmpty)
+    if (snapshotId == 0) (Seq.empty, 0)
     else {
       val p = metaDir.resolve(s"snap-$snapshotId")
       if (!Files.exists(p))
         throw new IllegalStateException(
           s"snapshot $snapshotId is expired or was never committed")
-      if (Files.isRegularFile(p)) MetaJson.parseManifest(Files.readString(p))
-      else legacyManifest(p.toString)
+      if (Files.isRegularFile(p)) {
+        val (shards, inline) = MetaJson.parseManifestRoot(Files.readString(p))
+        if (shards.isEmpty) (inline, dataCount(inline))
+        else {
+          val wanted = boxes match {
+            case Some(bs) => shards.filter(sm => bs.exists(b =>
+              MBR(sm.minLat, sm.minLon, sm.maxLat, sm.maxLon).overlaps(b)))
+            case None => shards
+          }
+          val loaded = inline ++ wanted.flatMap(sm =>
+            MetaJson.parseManifest(Files.readString(metaDir.resolve(sm.path))))
+          (loaded, shards.map(_.entries).sum + dataCount(inline))
+        }
+      } else {
+        val es = legacyManifest(p.toString)
+        (es, dataCount(es))
+      }
     }
   }
 
@@ -492,8 +526,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // the race leaves one of them in place and this commit FAILS instead
     // of silently replacing a snapshot it never read (real Iceberg moves
     // this CAS into the catalog; the seam is identical)
-    try Files.writeString(metaDir.resolve(s"snap-$next"),
-      MetaJson.manifestJson(all), StandardOpenOption.CREATE_NEW)
+    try writeManifestFile(next, all)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -503,7 +536,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       // undo our own (still unreferenced) manifest before failing so the
       // next committer's ErrorIfExists write is not blocked forever
       if (currentSnapshotId < next)
-        deleteRecursive(metaDir.resolve(s"snap-$next"))
+        deleteSnapshotArtifacts(next)
       throw new java.util.ConcurrentModificationException(
         s"snapshot advanced past $parent during commit — retry from the new manifest")
     }
@@ -523,6 +556,66 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     next
   }
 
+  /** Write the snap-`next` manifest. Small manifests stay FLAT (one JSON
+    * file); past `manifestShardRows` data entries the manifest becomes a
+    * two-level LIST — data entries sorted by minZ and chunked into shard
+    * files whose union bounds ride in the root, so a box read downloads
+    * only overlapping shards ([[manifestPartial]]). Shards are written
+    * FIRST under commit-unique names; the root file write is the
+    * CREATE_NEW tripwire either way, so concurrency semantics are
+    * unchanged. Non-data entries (delete manifests, lineage markers)
+    * stay inline in the root — every plan needs them. */
+  private def writeManifestFile(next: Long, all: Seq[FileEntry]): Unit = {
+    val data = all.filter(e => e.kind == "data" && e.path.nonEmpty)
+    val rootPath = metaDir.resolve(s"snap-$next")
+    if (data.size <= manifestShardRows) {
+      Files.writeString(rootPath, MetaJson.manifestJson(all),
+        StandardOpenOption.CREATE_NEW)
+    } else {
+      val inline = all.filterNot(e => e.kind == "data" && e.path.nonEmpty)
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val written = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      try {
+        val shards = data.sortBy(_.minZ).grouped(manifestShardRows)
+          .zipWithIndex.map { case (g, k) =>
+            val name = s"snap-$next-shard-$k-$uid.json"
+            val p = metaDir.resolve(name)
+            Files.writeString(p, MetaJson.manifestJson(g),
+              StandardOpenOption.CREATE_NEW)
+            written += p
+            ShardMeta(name, g.size,
+              g.map(_.minZ).min, g.map(_.maxZ).max,
+              g.map(_.minLat).min, g.map(_.maxLat).max,
+              g.map(_.minLon).min, g.map(_.maxLon).max)
+          }.toSeq
+        Files.writeString(rootPath, MetaJson.manifestListJson(shards, inline),
+          StandardOpenOption.CREATE_NEW)
+      } catch {
+        case e: Throwable =>
+          // a failed root write (lost race / crash mid-commit) must not
+          // leave this commit's shards as permanent debris
+          written.foreach(p => try Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+          throw e
+      }
+    }
+  }
+
+  /** Delete a snapshot's manifest root AND its shard files (if the
+    * snapshot is a two-level list) — the shard names are only recorded in
+    * the root, so the root must be read before it is removed. */
+  private def deleteSnapshotArtifacts(k: Long): Unit = {
+    val p = metaDir.resolve(s"snap-$k")
+    if (Files.isRegularFile(p)) {
+      try {
+        val (shards, _) = MetaJson.parseManifestRoot(Files.readString(p))
+        shards.foreach(sm => try Files.deleteIfExists(metaDir.resolve(sm.path))
+          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }
+    deleteRecursive(p)
+  }
+
   /** Remove unreferenced commit leftovers: snap-k directories past the
     * current pointer and stale current.tmp.* files. Nothing past the
     * pointer is readable, BUT a fresh snap-(cur+1) may belong to a
@@ -539,6 +632,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     def stale(p: java.nio.file.Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: Throwable => false }
+    val shardRe = "^snap-([0-9]{1,18})-shard-.*\\.json$".r
     listDir(metaDir).foreach { p =>
       val name = p.getFileName.toString
       val digits = name.drop(5)
@@ -546,8 +640,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         name.startsWith("current.tmp.") ||
           (name.startsWith("snap-") && digits.nonEmpty &&
             digits.length <= 18 && digits.forall(_.isDigit) &&
-            digits.toLong > cur) // guarded parse: debris like "snap-" or an
-                                 // overlong id must not wedge every commit
+            digits.toLong > cur) || // guarded parse: debris like "snap-" or an
+                                    // overlong id must not wedge every commit
+          (name match { // shard files of an uncommitted (crashed) snapshot
+            case shardRe(d) => d.toLong > cur
+            case _          => false
+          })
       if (orphan && stale(p)) deleteRecursive(p)
     }
   }
@@ -600,7 +698,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         val ranges = CellId.mergeRanges(boxes.flatMap(curveRangesForMbr),
           maxRanges = 256)
         df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
-      })
+      },
+      boxesHint = Some(boxes))
   }
 
   /** Time travel: the same planned read against ANY committed snapshot —
@@ -615,7 +714,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
           val ranges = curveRangesForMbr(b)
           df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
         case None => df
-      })
+      },
+      boxesHint = box.map(Seq(_)))
 
   /** Shared snapshot planner: `keep` prunes manifest data entries (file
     * skipping — MBR overlap for box reads, Bloom probes for key lookups),
@@ -623,12 +723,18 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * pushed key predicate). Both read paths share the sequence-scoped
     * tombstone chain below. */
   private def planAt(snapshotId: Long, keep: FileEntry => Boolean,
-                     refine: DataFrame => DataFrame): (DataFrame, Int, Int) = {
+                     refine: DataFrame => DataFrame,
+                     boxesHint: Option[Seq[MBR]] = None): (DataFrame, Int, Int) = {
     // drop compaction lineage markers (zero-file entries kept only so
-    // resumableRun still recognizes pre-compaction units as committed)
-    val all = manifest(snapshotId).filter(_.path.nonEmpty)
+    // resumableRun still recognizes pre-compaction units as committed).
+    // boxesHint prunes manifest SHARDS before any entry is even parsed
+    // (two-level list, [[manifestPartial]]) — entries in a skipped shard
+    // are provably disjoint from every box, so `keep` would reject them
+    // anyway; totalData stays the snapshot's true file count.
+    val (loaded, totalData) = manifestPartial(snapshotId, boxesHint)
+    val all = loaded.filter(_.path.nonEmpty)
     val entries = all.filter(_.kind == "data")
-    require(entries.nonEmpty, "empty table: nothing committed yet")
+    require(totalData > 0, "empty table: nothing committed yet")
     // SEQUENCE-SCOPED merge-on-read deletes (the Iceberg sequence-number
     // contract, via the PERSISTED per-entry seq): a tombstone applies only
     // to data entries with a smaller sequence number, so a row
@@ -668,9 +774,19 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         case (a, b) => a.orElse(b)
       }
     }
-    val live = acc.getOrElse(
-      spark.read.parquet(entries.map(_.path): _*).limit(0))
-    (live.drop("__z"), keptCount, entries.size)
+    val live = acc.getOrElse {
+      // empty plan (every file pruned — possibly every SHARD, leaving no
+      // loaded entry to take a schema from): read one file's footer for
+      // the schema, rows limited to zero
+      val anyPath = entries.headOption.map(_.path).getOrElse(
+        manifestPartial(snapshotId, None)._1
+          .find(e => e.kind == "data" && e.path.nonEmpty)
+          .map(_.path)
+          .getOrElse(throw new IllegalStateException(
+            s"snapshot $snapshotId has no data files")))
+      spark.read.parquet(anyPath).limit(0)
+    }
+    (live.drop("__z"), keptCount, totalData)
   }
 
   /** Row-level delete (Iceberg-v2 equality-delete shape): materialize the
@@ -857,7 +973,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val cur = currentSnapshotId
     val expired = (1L to cur - keepLast).filter(k =>
       Files.exists(metaDir.resolve(s"snap-$k")))
-    expired.foreach(k => deleteRecursive(metaDir.resolve(s"snap-$k")))
+    expired.foreach(deleteSnapshotArtifacts)
     expired
   }
 
@@ -875,6 +991,14 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
 }
 
 object SnapshotStore {
+
+  /** Data entries per manifest shard / the flat-manifest ceiling: at the
+    * ~10⁶-file design point this yields ~100 shard files of ~2 MB JSON
+    * each behind a ~20 KB root list — a box read parses the root plus the
+    * few overlapping shards instead of the full manifest (measured in
+    * ManifestScaleBench / SnapshotStoreSpec). */
+  val DefaultManifestShardRows: Int = 10000
+
   /** `file:`-URI and plain-path spellings of the same file must compare
     * equal: manifest paths are Hadoop URIs (`file:/x`), `input_file_name`
     * yields `file:///x`. Sidecars persist the normalized form. */
