@@ -83,7 +83,7 @@ object Bench {
     * apparatus evidence published next to each scaling pair. */
   private var lastSteal: Double = -1.0
 
-  private def scalingLeg(cpus: Int, rows: Long, iters: Int = 2): Double =
+  private def scalingLeg(cpus: Int, rows: Long, iters: Int = 3): Double =
     childLeg("graft.bench.ScalingBench", cpus, Map(
       "SPARK_GRAFT_SCALE_ROWS" -> rows.toString,
       "SPARK_GRAFT_SCALE_ITERS" -> iters.toString))
@@ -300,6 +300,16 @@ object Bench {
     // checkpoint artifact: everything measured so far survives a timeout
     emit(Seq.empty, Seq.empty, truncated = true)
 
+    // QUIESCE the parent before the scaling legs: after the sweep the
+    // session's leftover thread pools (streaming state-store maintenance,
+    // executor pools, cleanup) kept burning 2-4 cores in this JVM —
+    // measured during the r5 local run at 190-390% CPU alongside the
+    // child legs, dragging the 16c leg proportionally more than the 4c
+    // leg (pair efficiencies 0.70-0.71 at <1% hypervisor steal; the same
+    // box read 0.83 when quiet). The legs are FRESH child JVMs; the
+    // parent needs no Spark from here on.
+    spark.stop()
+
     // budget-aware scaling: a pair (or retry) only starts if the remaining
     // wall budget fits it, estimated from the slowest pair measured so far
     // (round-4 "what's wrong" #3: retries recursing on the same count with
@@ -324,6 +334,5 @@ object Bench {
     val (legs4, legs16) = pairsRun.unzip
     emit(legs4, legs16, truncated = legs4.size < scPairs &&
       !sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1"))
-    spark.stop()
   }
 }

@@ -74,6 +74,27 @@ object Headline {
     (rows, rows / med)
   }
 
+  /** Per-leg variant for the scaling protocol: throughput from the MIN
+    * pass time, all pass times returned for publication. Host noise is
+    * strictly ADDITIVE (steal, cache eviction, writeback can only slow a
+    * pass), so the min estimates the uncontended pass; the cross-JVM
+    * median over pairs — where the real variance lives — still guards
+    * against a systematically hot leg. (The old 2-iter median reported
+    * the SLOWER of two passes: the most noise-exposed statistic
+    * available, and the r5 pair spread 0.70-0.81 at <1% steal was mostly
+    * that.) */
+  def measureBest(pts: DataFrame, iters: Int = 3,
+                  warmups: Int = 1): (Long, Double, Seq[Double]) = {
+    (1 to warmups).foreach(_ => pass(pts))
+    val times = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = pass(pts)
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val rows = times.head._1
+    (rows, rows / times.map(_._2).min, times.map(_._2))
+  }
+
   def session(cpus: Int): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .appName(s"graft-headline-$cpus")
@@ -133,11 +154,12 @@ object ScalingBench {
     // JVMs (where the variance lives), so it trims the in-JVM reps
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
     val (t0, s0) = cpuStat()
-    val (rows, rps) = Headline.measure(pts, iters)
+    val (rows, rps, times) = Headline.measureBest(pts, iters)
     val (t1, s1) = cpuStat()
     val stealPct =
       if (t1 > t0 && s0 >= 0) 100.0 * (s1 - s0) / (t1 - t0) else -1.0
     s.stop()
-    println(f"""{"metric":"headline_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","cpus":$cpus,"rows":$rows,"steal_pct":$stealPct%.2f}""")
+    val ts = times.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"headline_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","cpus":$cpus,"rows":$rows,"iters_sec":$ts,"steal_pct":$stealPct%.2f}""")
   }
 }
