@@ -210,6 +210,35 @@ object Bench {
             try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
         }
       } catch { case _: Throwable => -1.0 }
+    // q09e/q10f decomposition, same rationale: their sweep medians carry a
+    // 600k-row staging append each — these are the JOIN-query-only costs
+    // over one pre-written store (multi-box pruned read + broadcast join;
+    // per-ball pruned read + per-query top-k)
+    val (tBoxJoinStored, tKnnJoinStored) =
+      try {
+        val root = java.nio.file.Files.createTempDirectory("graft_bench_q09e_")
+        try {
+          val store = new graft.table.SnapshotStore(spark, root.toString)
+          store.append(graft.data.Points(spark, sfDir), "unit-all", numPartitions = 8)
+          val t0 = System.nanoTime()
+          graft.ops.SpatialOps.boxJoin(
+            store.readBoxes(graft.data.Fixtures.boxes.map(_._2))._1,
+            graft.data.Fixtures.boxes,
+            graft.ops.SpatialOps.resolveRes(store,
+              graft.data.Fixtures.boxes.map(_._2))).count()
+          val t1 = System.nanoTime()
+          graft.index.GlobalIndex.knnJoinStored(store,
+            graft.data.Fixtures.knnQueries, graft.data.Fixtures.knnJoinK).count()
+          val t2 = System.nanoTime()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        } finally {
+          val w = java.nio.file.Files.walk(root)
+          val all = try { import scala.jdk.CollectionConverters._
+            w.iterator().asScala.toSeq } finally w.close()
+          all.reverse.foreach(p =>
+            try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+        }
+      } catch { case _: Throwable => (-1.0, -1.0) }
     cleanup(spark)
     // the north rule's two-cluster-size criterion, evidenced in the bench
     // artifact itself: the SAME pipeline at two parallelism levels (N=4 vs
@@ -293,7 +322,7 @@ object Bench {
       val rejStr = rejected.map(p =>
         s"[${"%.1f".format(p._1)},${"%.1f".format(p._2)},${"%.4f".format(p._3)}]")
         .mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","elapsed_sec":${"%.1f".format(elapsedS)},"budget_sec":${"%.1f".format(budgetS)},"image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_truncated":$truncated,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","elapsed_sec":${"%.1f".format(elapsedS)},"budget_sec":${"%.1f".format(budgetS)},"image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"boxjoin_stored_query_sec":${"%.3f".format(tBoxJoinStored)},"knnjoin_stored_query_sec":${"%.3f".format(tKnnJoinStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_truncated":$truncated,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
       System.out.flush()
     }
 

@@ -20,6 +20,11 @@
 #     floors (4c >= 12M rows/s, 16c >= 45M at the default 1e9-row input —
 #     0.6x the stable clean-leg medians; a both-legs-degraded pair passes
 #     the window alone, round-3 verdict).
+#   - each LEG reports throughput from the MIN of 3 in-JVM passes
+#     (Headline.measureBest, round 5): host noise is strictly additive,
+#     so the min estimates the uncontended pass; per-iter times ride in
+#     the leg JSON (iters_sec). Inherited here via ScalingBench's
+#     SPARK_GRAFT_SCALE_ITERS default.
 #   - two retries per degenerate pair (same budget as Bench); rejects
 #     printed WITH the leg's steal_pct; if NO pair is clean the output
 #     carries contended=true.
