@@ -142,6 +142,19 @@ object SparkEntry {
     "q16_tile_histogram" -> ((s, dir) => SpatialOps.tileHistogram(Points(s, dir))),
     "q16b_tile_pyramid" -> ((s, dir) => SpatialOps.tilePyramid(Points(s, dir))),
     "q17_pip_join" -> ((s, dir) => SpatialOps.pipJoin(Points(s, dir), Fixtures.polys)),
+    // PIP join through the STORED table: probe side = one readBoxes plan
+    // over the polygons' bboxes (files disjoint from every bbox never
+    // open), then the same covering-prune + ray-crossing refine; with
+    // q09e/q10f this closes file-level pruning for ALL metric join
+    // families. Same oracle as q17.
+    "q17c_pip_stored" -> ((s, dir) => {
+      val root = tempStore("graft_q17c_")
+      val store = new graft.table.SnapshotStore(s, root)
+      store.append(Points(s, dir), "unit-all", numPartitions = 8)
+      val bboxes = Fixtures.polys.map(_._2.bbox)
+      SpatialOps.pipJoin(store.readBoxes(bboxes)._1, Fixtures.polys,
+        SpatialOps.resolveRes(store, bboxes))
+    }),
     // vector→raster: rasterize the fixture polygons onto the cell grid
     // (no data table involved — the raster is a function of the geometry)
     "q19_rasterize" -> ((s, _) => SpatialOps.rasterize(s, Fixtures.polys)),
@@ -454,6 +467,7 @@ object SparkEntry {
     "q16_tile_histogram" -> OracleSql.tileHistogram(Fixtures.TileRes),
     "q16b_tile_pyramid" -> OracleSql.tilePyramid(Fixtures.TileRes),
     "q17_pip_join" -> OracleSql.pipJoin(Fixtures.polys),
+    "q17c_pip_stored" -> OracleSql.pipJoin(Fixtures.polys),
     "q19_rasterize" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
     "q19c_rasterize_many" -> OracleSql.rasterize(Fixtures.polys, Fixtures.RasterRes),
     // join-shape contract: empty zones emit NO row (HAVING in the twin)

@@ -426,6 +426,28 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("stored-table PIP join (q17c path): bbox-pruned read, join exact") {
+    // same contract as the q09e spec, for the polygon family: a file
+    // disjoint from EVERY polygon bbox never opens, and the joined rows
+    // match the raw-table operator's exactly (covering prune + even-odd
+    // refine are downstream of the read, so pruning cannot change them)
+    import graft.ops.SpatialOps
+    val polys = graft.data.Fixtures.polys
+    val bboxes = polys.map(_._2.bbox)
+    val src = Points(spark, "/root/testdata/sf0.01")
+    val st = new SnapshotStore(spark, tmp())
+    // 32 files: layout-robust prune margin (see q10f note below)
+    st.append(src, "unit-all", numPartitions = 32)
+    val (df, kept, total) = st.readBoxes(bboxes)
+    assert(kept < total, s"bbox read opened all $total files")
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val got = norm(SpatialOps.pipJoin(df, polys,
+      SpatialOps.resolveRes(st, bboxes)))
+    assert(got == norm(SpatialOps.pipJoin(src, polys)),
+      "stored-table pipJoin diverged")
+  }
+
   test("stored-table kNN join (q10f path): per-query pruned balls, exact under tombstones") {
     import graft.index.GlobalIndex
     import graft.ops.SpatialOps
