@@ -15,9 +15,12 @@ import org.apache.spark.sql.SparkSession
   *  3. run every driver query `Reps` times and report the per-query
   *     MEDIAN, clearing session caches and temp views between queries so
   *     one query's leftovers never tax the next. Queries whose first rep
-  *     is ≥ `SlowCutoffS` get one fewer rep (median of 2 = mean of the
-  *     two) — round 4's 5-pair scaling protocol overran the driver's
-  *     harness timeout and the all-at-the-end artifact line lost even the
+  *     is ≥ `SlowCutoffS` get one fewer rep and report the MIN of the two
+  *     (a one-time cold cost in the first rep would otherwise inflate the
+  *     published number; the artifact declares this via slow_reps /
+  *     slow_stat so no reader mistakes those entries for 3-rep medians) —
+  *     round 4's 5-pair scaling protocol overran the driver's harness
+  *     timeout and the all-at-the-end artifact line lost even the
   *     completed sweep, so round 5 trades a rep on the slow storage /
   *     streaming queries for scaling headroom;
   *  4. WALL-CLOCK BUDGET (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1800 s):
@@ -203,11 +206,7 @@ object Bench {
           // delete the staged table — repeated bench loops must not
           // accumulate full dataset copies under /tmp (the same hazard
           // SparkEntry.tempStore's TTL purge exists for)
-          val w = java.nio.file.Files.walk(root)
-          val all = try { import scala.jdk.CollectionConverters._
-            w.iterator().asScala.toSeq } finally w.close()
-          all.reverse.foreach(p =>
-            try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+          graft.ops.OpUtil.deleteTree(root)
         }
       } catch { case _: Throwable => -1.0 }
     // q09e/q10f decomposition, same rationale: their sweep medians carry a
@@ -232,11 +231,7 @@ object Bench {
           val t2 = System.nanoTime()
           ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
         } finally {
-          val w = java.nio.file.Files.walk(root)
-          val all = try { import scala.jdk.CollectionConverters._
-            w.iterator().asScala.toSeq } finally w.close()
-          all.reverse.foreach(p =>
-            try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+          graft.ops.OpUtil.deleteTree(root)
         }
       } catch { case _: Throwable => (-1.0, -1.0) }
     cleanup(spark)
@@ -322,7 +317,7 @@ object Bench {
       val rejStr = rejected.map(p =>
         s"[${"%.1f".format(p._1)},${"%.1f".format(p._2)},${"%.4f".format(p._3)}]")
         .mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","elapsed_sec":${"%.1f".format(elapsedS)},"budget_sec":${"%.1f".format(budgetS)},"image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"boxjoin_stored_query_sec":${"%.3f".format(tBoxJoinStored)},"knnjoin_stored_query_sec":${"%.3f".format(tKnnJoinStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_truncated":$truncated,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"slow_cutoff_s":$SlowCutoffS,"slow_reps":2,"slow_stat":"min","queries":$qs,"sf":"$sfDir","elapsed_sec":${"%.1f".format(elapsedS)},"budget_sec":${"%.1f".format(budgetS)},"image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"boxjoin_stored_query_sec":${"%.3f".format(tBoxJoinStored)},"knnjoin_stored_query_sec":${"%.3f".format(tKnnJoinStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_truncated":$truncated,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
       System.out.flush()
     }
 

@@ -402,13 +402,8 @@ object SparkEntry {
       } finally ls.close()
       tops.foreach { p =>
         if (p.getFileName.toString.startsWith("graft_q") &&
-            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-          import scala.jdk.CollectionConverters._
-          val w = java.nio.file.Files.walk(p)
-          val all = try w.iterator().asScala.toSeq finally w.close()
-          all.reverse
-            .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
-        }
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          graft.ops.OpUtil.deleteTree(p)
       }
     } catch { case _: Throwable => () } // cleanup is best-effort
     java.nio.file.Files.createTempDirectory(prefix).toString

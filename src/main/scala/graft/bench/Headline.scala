@@ -63,15 +63,23 @@ object Headline {
     * JIT, not the operator (measured: 400k-row pass 6.8 s cold vs 0.9 s
     * after 5 warmups in the same child). */
   def measure(pts: DataFrame, iters: Int = 3, warmups: Int = 1): (Long, Double) = {
-    (1 to warmups).foreach(_ => pass(pts)) // warmup: codegen + page cache
+    val (rows, times) = timedPasses(pts, iters, warmups)
+    val med = times.sorted.apply(iters / 2)
+    (rows, rows / med)
+  }
+
+  /** Shared timing loop: `warmups` unmeasured passes (codegen + page
+    * cache), then `iters` timed ones. The statistic applied on top is the
+    * caller's — median for the in-session headline, min for scaling legs. */
+  private def timedPasses(pts: DataFrame, iters: Int,
+                          warmups: Int): (Long, Seq[Double]) = {
+    (1 to warmups).foreach(_ => pass(pts))
     val times = (1 to iters).map { _ =>
       val t0 = System.nanoTime()
       val rows = pass(pts)
       (rows, (System.nanoTime() - t0) / 1e9)
     }
-    val rows = times.head._1
-    val med = times.map(_._2).sorted.apply(iters / 2)
-    (rows, rows / med)
+    (times.head._1, times.map(_._2))
   }
 
   /** Per-leg variant for the scaling protocol: throughput from the MIN
@@ -85,14 +93,8 @@ object Headline {
     * that.) */
   def measureBest(pts: DataFrame, iters: Int = 3,
                   warmups: Int = 1): (Long, Double, Seq[Double]) = {
-    (1 to warmups).foreach(_ => pass(pts))
-    val times = (1 to iters).map { _ =>
-      val t0 = System.nanoTime()
-      val rows = pass(pts)
-      (rows, (System.nanoTime() - t0) / 1e9)
-    }
-    val rows = times.head._1
-    (rows, rows / times.map(_._2).min, times.map(_._2))
+    val (rows, times) = timedPasses(pts, iters, warmups)
+    (rows, rows / times.min, times)
   }
 
   def session(cpus: Int): SparkSession = SparkSession.builder()

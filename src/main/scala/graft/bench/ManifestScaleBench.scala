@@ -75,11 +75,29 @@ object ManifestScaleBench {
         require(es.count(e =>
           MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(box)) > 0)
       }
+      // commit cost of ONE 100-file append onto the n-entry table, the
+      // shard-REUSE path (round-5): parse the parent ROOT, write one new
+      // shard + the new root carrying the parent's shard rows by
+      // reference. Compare against tShardWrite — the full rewrite a
+      // reuse-less commit pays (and tFlatWrite for the flat form).
+      val appendEntries = synth(100).map(e => e.copy(path = "data/app/" + e.path))
+      val tCommitReuse = timeMs {
+        val (pShards, _) = MetaJson.parseManifestRoot(
+          Files.readString(dir.resolve(s"root-$n.json")))
+        Files.writeString(dir.resolve(s"shard-$n-new.json"),
+          MetaJson.manifestJson(appendEntries))
+        val sm = ShardMeta(s"shard-$n-new.json", appendEntries.size,
+          appendEntries.map(_.minZ).min, appendEntries.map(_.maxZ).max,
+          appendEntries.map(_.minLat).min, appendEntries.map(_.maxLat).max,
+          appendEntries.map(_.minLon).min, appendEntries.map(_.maxLon).max)
+        Files.writeString(dir.resolve(s"root-$n-next.json"),
+          MetaJson.manifestListJson(pShards :+ sm, Seq.empty))
+      }
       println(f"entries=$n%8d flatMB=${flatBytes / 1e6}%8.1f " +
         f"flatWriteMs=$tFlatWrite%8.0f flatParseMs=$tFlatParse%8.0f " +
         f"planFlatMs=$tPlanFlat%8.0f | rootKB=${rootBytes / 1e3}%6.1f " +
         f"shardWriteMs=$tShardWrite%8.0f planShardedMs=$tPlanSharded%7.0f " +
-        f"entriesLoaded=$loaded%8d")
+        f"entriesLoaded=$loaded%8d commitReuseMs=$tCommitReuse%7.0f")
     }
     // cleanup
     Files.list(dir).forEach(p => Files.deleteIfExists(p))

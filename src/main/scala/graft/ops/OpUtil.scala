@@ -20,4 +20,16 @@ private[graft] object OpUtil {
     upstream.foreach(_.unpersist(false))
     out
   }
+
+  /** Best-effort recursive delete of a temp tree, with the walk stream
+    * CLOSED (Files.walk leaks a directory fd until GC otherwise). The
+    * one copy of an idiom that had drifted across three call sites
+    * (SparkEntry.tempStore and two Bench staging blocks). */
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(root)
+    val all = try w.iterator().asScala.toSeq finally w.close()
+    all.reverse.foreach(p =>
+      try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+  }
 }

@@ -56,8 +56,10 @@ object MetaJson {
     * legacy parquet manifest path gives kind/seq. Geometric stats default
     * to the fail-open full range (a pruner may only skip a file it can
     * PROVE disjoint; unknown stats must never skip). */
-  def parseManifest(json: String): Seq[FileEntry] = {
-    val root = mapper.readTree(json)
+  def parseManifest(json: String): Seq[FileEntry] =
+    entriesFrom(mapper.readTree(json))
+
+  private def entriesFrom(root: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] = {
     val arr = root.get("entries").asInstanceOf[ArrayNode]
     def l(o: com.fasterxml.jackson.databind.JsonNode, n: String, d: Long) =
       Option(o.get(n)).map(_.asLong()).getOrElse(d)
@@ -103,8 +105,11 @@ object MetaJson {
     * same fail-open defaults as entry stats — an unknown bound makes the
     * shard un-prunable, never silently skipped. */
   def parseManifestRoot(json: String): (Seq[ShardMeta], Seq[FileEntry]) = {
+    // ONE readTree for both halves — a second parse of the same document
+    // doubled driver-side cost on every snapshot read (flat manifests can
+    // be MBs before the sharding threshold, and legacy tables stay flat)
     val root = mapper.readTree(json)
-    val entries = parseManifest(json)
+    val entries = entriesFrom(root)
     val shardsNode = Option(root.get("shards")).map(_.asInstanceOf[ArrayNode])
     val shards = shardsNode.map { arr =>
       def l(o: com.fasterxml.jackson.databind.JsonNode, n: String, d: Long) =

@@ -52,14 +52,30 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   * 10¹²-row design point (~10⁶ files of ~100 MB) that is a few hundred MB
   * of driver-side JSON per read. Past `manifestShardRows` data entries a
   * commit therefore writes Iceberg's TWO-LEVEL shape — a manifest LIST
-  * whose rows carry per-shard Z/lat-lon union bounds, data entries sorted
-  * by minZ and chunked into shard files — and box reads download only the
-  * shards overlapping the query ([[manifestPartial]]); flat and legacy
-  * manifests still read through the same parser. Key lookups
-  * ([[lookupByKey]]) read all shards (Bloom pruning is per-entry; a
-  * key-sorted shard dimension would be the next step if lookups dominate).
+  * whose rows carry per-shard Z/lat-lon union bounds, data entries
+  * chunked into shard files — and box reads download only the shards
+  * overlapping the query ([[manifestPartial]]); flat and legacy
+  * manifests still read through the same parser. Commits onto a sharded
+  * parent REUSE its shard files by reference and write only their own
+  * entries as a new shard, so the commit path is O(commit size), not
+  * O(table) ([[writeManifestFile]]); [[compact]] re-chunks globally
+  * (Iceberg's rewrite-manifests analog). Key lookups ([[lookupByKey]])
+  * read all shards (Bloom pruning is per-entry; a key-sorted shard
+  * dimension would be the next step if lookups dominate — real Iceberg
+  * accepts the same cost for non-partition-column lookups).
   * Compaction bounds entry-count growth between appends either way.
   */
+/** What a commit wrote, for read-back verification: `fullExpect` is the
+  * complete expected entry list when the root was written whole (flat
+  * root, first sharding conversion, or a replacing commit); on the
+  * shard-REUSE path it is None and verification checks the root's shard
+  * list + inline entries + only the newly created shards. */
+private[table] final case class CommitLayout(
+    fullExpect: Option[Seq[FileEntry]],
+    rootShardPaths: Seq[String],
+    newShards: Seq[(String, Seq[FileEntry])],
+    inline: Seq[FileEntry])
+
 final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
                           histRes: Int = 8,
                           bloomKey: Option[String] = None,
@@ -518,7 +534,6 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // sequence number = the committing snapshot id (Iceberg semantics);
     // parent entries keep the seq of the commit that introduced them
     val stamped = newEntries.map(_.copy(seq = next))
-    val all = if (replaceParent) stamped else manifest(parent) ++ stamped
     sweepOrphans()
     writeTableMeta()
     // snap-N+1 (CREATE_NEW) and current.tmp.N+1 (CREATE_NEW) are the
@@ -526,12 +541,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // the race leaves one of them in place and this commit FAILS instead
     // of silently replacing a snapshot it never read (real Iceberg moves
     // this CAS into the catalog; the seam is identical)
-    try writeManifestFile(next, all)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"snap-$next already exists — another writer won the race ($e)")
-    }
+    val layout =
+      try writeManifestFile(next, parent, stamped, replaceParent)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"snap-$next already exists — another writer won the race ($e)")
+      }
     if (currentSnapshotId != parent) {
       // undo our own (still unreferenced) manifest before failing so the
       // next committer's ErrorIfExists write is not blocked forever
@@ -544,11 +560,29 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // reference must contain exactly the entries THIS commit wrote. A
     // stalled writer whose stale snap dir was swept and recreated by a
     // racer would otherwise swing the pointer onto the racer's manifest
-    // and silently lose its own entries while reporting success.
-    val written = manifest(next).map(e => (e.lineageId, e.path, e.rows, e.seq))
-    if (written.sorted != all.map(e => (e.lineageId, e.path, e.rows, e.seq)).sorted)
+    // and silently lose its own entries while reporting success. The
+    // shard-reuse path verifies WITHOUT a full manifest parse (commits
+    // must stay O(commit), not O(table)): the root's shard list and
+    // inline entries must be exactly what this commit wrote, and only
+    // the shards this commit CREATED are re-parsed — carried shards are
+    // immutable files a racer cannot have produced under our uid names.
+    def tup(e: FileEntry) = (e.lineageId, e.path, e.rows, e.seq)
+    def mismatch(): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"snap-$next does not contain this commit's entries — replaced by another writer")
+    layout.fullExpect match {
+      case Some(all) =>
+        if (manifest(next).map(tup).sorted != all.map(tup).sorted) mismatch()
+      case None =>
+        val (shards2, inline2) =
+          MetaJson.parseManifestRoot(Files.readString(metaDir.resolve(s"snap-$next")))
+        if (shards2.map(_.path) != layout.rootShardPaths) mismatch()
+        if (inline2.map(tup).sorted != layout.inline.map(tup).sorted) mismatch()
+        layout.newShards.foreach { case (name, ents) =>
+          val got = MetaJson.parseManifest(Files.readString(metaDir.resolve(name)))
+          if (got.map(tup).sorted != ents.map(tup).sorted) mismatch()
+        }
+    }
     val tmp = metaDir.resolve(s"current.tmp.$next")
     Files.writeString(tmp, next.toString, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
@@ -558,59 +592,122 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
 
   /** Write the snap-`next` manifest. Small manifests stay FLAT (one JSON
     * file); past `manifestShardRows` data entries the manifest becomes a
-    * two-level LIST — data entries sorted by minZ and chunked into shard
-    * files whose union bounds ride in the root, so a box read downloads
-    * only overlapping shards ([[manifestPartial]]). Shards are written
-    * FIRST under commit-unique names; the root file write is the
+    * two-level LIST — data entries chunked into shard files whose union
+    * bounds ride in the root, so a box read downloads only overlapping
+    * shards ([[manifestPartial]]). A commit onto an already-sharded
+    * parent REUSES the parent's shard files by reference (the Iceberg
+    * manifest-list contract: manifests are immutable and carried forward,
+    * not rewritten) and chunks only ITS OWN new data entries into new
+    * shard file(s) — commits are O(commit size) driver JSON, not O(table
+    * file count). Per-append shards overlap in Z (each append spans its
+    * own key range), so their union bounds are looser than a global
+    * re-sort; [[compact]]'s replacing commit re-chunks globally by minZ,
+    * exactly like Iceberg's rewrite-manifests maintenance. Shards are
+    * written FIRST under commit-unique names; the root file write is the
     * CREATE_NEW tripwire either way, so concurrency semantics are
     * unchanged. Non-data entries (delete manifests, lineage markers)
     * stay inline in the root — every plan needs them. */
-  private def writeManifestFile(next: Long, all: Seq[FileEntry]): Unit = {
-    val data = all.filter(e => e.kind == "data" && e.path.nonEmpty)
+  private def writeManifestFile(next: Long, parent: Long,
+                                stamped: Seq[FileEntry],
+                                replaceParent: Boolean): CommitLayout = {
+    def isData(e: FileEntry) = e.kind == "data" && e.path.nonEmpty
     val rootPath = metaDir.resolve(s"snap-$next")
-    if (data.size <= manifestShardRows) {
-      Files.writeString(rootPath, MetaJson.manifestJson(all),
-        StandardOpenOption.CREATE_NEW)
-    } else {
-      val inline = all.filterNot(e => e.kind == "data" && e.path.nonEmpty)
-      val uid = java.util.UUID.randomUUID().toString.take(8)
-      val written = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      try {
-        val shards = data.sortBy(_.minZ).grouped(manifestShardRows)
-          .zipWithIndex.map { case (g, k) =>
-            val name = s"snap-$next-shard-$k-$uid.json"
-            val p = metaDir.resolve(name)
-            Files.writeString(p, MetaJson.manifestJson(g),
-              StandardOpenOption.CREATE_NEW)
-            written += p
-            ShardMeta(name, g.size,
-              g.map(_.minZ).min, g.map(_.maxZ).max,
-              g.map(_.minLat).min, g.map(_.maxLat).max,
-              g.map(_.minLon).min, g.map(_.maxLon).max)
-          }.toSeq
+    val (pShards, pInline) =
+      if (replaceParent || parent == 0) (Seq.empty[ShardMeta], Seq.empty[FileEntry])
+      else {
+        val p = metaDir.resolve(s"snap-$parent")
+        if (Files.isRegularFile(p)) MetaJson.parseManifestRoot(Files.readString(p))
+        else (Seq.empty[ShardMeta], legacyManifest(p.toString))
+      }
+    val newData = stamped.filter(isData)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val written = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def writeShards(data: Seq[FileEntry]): Seq[(ShardMeta, Seq[FileEntry])] =
+      data.sortBy(_.minZ).grouped(manifestShardRows)
+        .zipWithIndex.map { case (g, k) =>
+          val name = s"snap-$next-shard-$k-$uid.json"
+          val p = metaDir.resolve(name)
+          Files.writeString(p, MetaJson.manifestJson(g),
+            StandardOpenOption.CREATE_NEW)
+          written += p
+          (ShardMeta(name, g.size,
+            g.map(_.minZ).min, g.map(_.maxZ).max,
+            g.map(_.minLat).min, g.map(_.maxLat).max,
+            g.map(_.minLon).min, g.map(_.maxLon).max), g)
+        }.toSeq
+    try {
+      if (pShards.isEmpty) {
+        // flat parent (or empty/replacing commit): all parent entries are
+        // inline in its root, already in hand — no shard files to carry
+        val flatData = pInline.filter(isData) ++ newData
+        if (flatData.size <= manifestShardRows) {
+          val all = pInline ++ stamped
+          Files.writeString(rootPath, MetaJson.manifestJson(all),
+            StandardOpenOption.CREATE_NEW)
+          CommitLayout(Some(all), Seq.empty, Seq.empty, Seq.empty)
+        } else {
+          // one-time conversion to the two-level shape: global minZ chunk
+          val inline = pInline.filterNot(isData) ++ stamped.filterNot(isData)
+          val shards = writeShards(flatData).map(_._1)
+          Files.writeString(rootPath, MetaJson.manifestListJson(shards, inline),
+            StandardOpenOption.CREATE_NEW)
+          CommitLayout(Some(inline ++ flatData), Seq.empty, Seq.empty, Seq.empty)
+        }
+      } else {
+        // sharded parent: carry its shards BY REFERENCE, chunk only the
+        // new data entries (usually one small shard per append)
+        val inline = pInline.filterNot(isData) ++ stamped.filterNot(isData)
+        val fresh = writeShards(newData)
+        val shards = pShards ++ fresh.map(_._1)
         Files.writeString(rootPath, MetaJson.manifestListJson(shards, inline),
           StandardOpenOption.CREATE_NEW)
-      } catch {
-        case e: Throwable =>
-          // a failed root write (lost race / crash mid-commit) must not
-          // leave this commit's shards as permanent debris
-          written.foreach(p => try Files.deleteIfExists(p)
-            catch { case _: Throwable => () })
-          throw e
+        CommitLayout(None, shards.map(_.path),
+          fresh.map { case (sm, g) => sm.path -> g }, inline)
       }
+    } catch {
+      case e: Throwable =>
+        // a failed root write (lost race / crash mid-commit) must not
+        // leave this commit's shards as permanent debris
+        written.foreach(p => try Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+        throw e
     }
   }
 
-  /** Delete a snapshot's manifest root AND its shard files (if the
-    * snapshot is a two-level list) — the shard names are only recorded in
-    * the root, so the root must be read before it is removed. */
+  /** Shard paths referenced by every OTHER existing snapshot root. Under
+    * shard reuse a shard written at snap-k is referenced by k and every
+    * descendant until a replacing commit — deletion must check the whole
+    * root set, not just the snapshot being dropped. Roots of sharded
+    * tables are KBs (shard list + inline non-data rows), so this scan is
+    * cheap even at the 10⁶-file design point. */
+  private def referencedShardPaths(excludeId: Long): Set[String] =
+    listDir(metaDir).flatMap { p =>
+      val name = p.getFileName.toString
+      val digits = name.drop(5)
+      if (name.startsWith("snap-") && digits.nonEmpty && digits.length <= 18 &&
+          digits.forall(_.isDigit) && digits.toLong != excludeId &&
+          Files.isRegularFile(p))
+        try MetaJson.parseManifestRoot(Files.readString(p))._1.map(_.path)
+        catch { case _: Throwable => Seq.empty[String] }
+      else Seq.empty[String]
+    }.toSet
+
+  /** Delete a snapshot's manifest root AND the shard files only IT
+    * references (if the snapshot is a two-level list) — shards carried
+    * forward into retained snapshots must survive, and the shard names
+    * are only recorded in roots, so the root must be read before it is
+    * removed. */
   private def deleteSnapshotArtifacts(k: Long): Unit = {
     val p = metaDir.resolve(s"snap-$k")
     if (Files.isRegularFile(p)) {
       try {
         val (shards, _) = MetaJson.parseManifestRoot(Files.readString(p))
-        shards.foreach(sm => try Files.deleteIfExists(metaDir.resolve(sm.path))
-          catch { case _: Throwable => () })
+        if (shards.nonEmpty) {
+          val keep = referencedShardPaths(k)
+          shards.filterNot(sm => keep.contains(sm.path))
+            .foreach(sm => try Files.deleteIfExists(metaDir.resolve(sm.path))
+              catch { case _: Throwable => () })
+        }
       } catch { case _: Throwable => () }
     }
     deleteRecursive(p)
@@ -626,6 +723,21 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * milliseconds, while crash debris is minutes old by the next commit. */
   private val orphanAgeMs = 60000L
 
+  /** One data-file path of the snapshot, parsing at most one shard
+    * (every shard holds only data entries, so the first suffices). */
+  private def anyDataPath(snapshotId: Long): Option[String] = {
+    def firstData(es: Seq[FileEntry]): Option[String] =
+      es.find(e => e.kind == "data" && e.path.nonEmpty).map(_.path)
+    val p = metaDir.resolve(s"snap-$snapshotId")
+    if (!Files.exists(p)) None
+    else if (Files.isRegularFile(p)) {
+      val (shards, inline) = MetaJson.parseManifestRoot(Files.readString(p))
+      firstData(inline).orElse(shards.headOption.flatMap(sm =>
+        firstData(MetaJson.parseManifest(
+          Files.readString(metaDir.resolve(sm.path))))))
+    } else firstData(legacyManifest(p.toString))
+  }
+
   private def sweepOrphans(): Unit = {
     val cur = currentSnapshotId
     val cutoff = System.currentTimeMillis() - orphanAgeMs
@@ -633,6 +745,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: Throwable => false }
     val shardRe = "^snap-([0-9]{1,18})-shard-.*\\.json$".r
+    // computed at most once per sweep, and only if a stale shard file
+    // exists at all: live carried shards ARE old files, so the reference
+    // set (union of every root's shard list — KBs each) is what separates
+    // them from debris left by a writer that crashed mid-commit and whose
+    // snapshot id was later committed by a retrying racer (such shards
+    // are referenced by NO root, at any id, ever)
+    lazy val referenced = referencedShardPaths(-1L)
     listDir(metaDir).foreach { p =>
       val name = p.getFileName.toString
       val digits = name.drop(5)
@@ -642,8 +761,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
             digits.length <= 18 && digits.forall(_.isDigit) &&
             digits.toLong > cur) || // guarded parse: debris like "snap-" or an
                                     // overlong id must not wedge every commit
-          (name match { // shard files of an uncommitted (crashed) snapshot
-            case shardRe(d) => d.toLong > cur
+          (name match { // shard files no root references: crashed-commit
+            case shardRe(_) => !referenced.contains(name)
             case _          => false
           })
       if (orphan && stale(p)) deleteRecursive(p)
@@ -796,13 +915,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val live = acc.getOrElse {
       // empty plan (every file pruned — possibly every SHARD, leaving no
       // loaded entry to take a schema from): read one file's footer for
-      // the schema, rows limited to zero
+      // the schema, rows limited to zero. anyDataPath parses at most ONE
+      // shard — the cheapest possible query must not pay a full manifest
+      // parse just to recover the schema.
       val anyPath = entries.headOption.map(_.path).getOrElse(
-        manifestPartial(snapshotId, None)._1
-          .find(e => e.kind == "data" && e.path.nonEmpty)
-          .map(_.path)
-          .getOrElse(throw new IllegalStateException(
-            s"snapshot $snapshotId has no data files")))
+        anyDataPath(snapshotId).getOrElse(throw new IllegalStateException(
+          s"snapshot $snapshotId has no data files")))
       spark.read.parquet(anyPath).limit(0)
     }
     (live.drop("__z"), keptCount, totalData)

@@ -336,8 +336,12 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // read downloads only overlapping shards
     val root = tmp()
     val st = new SnapshotStore(spark, root, manifestShardRows = 3)
+    // 8 files per append: per-append shards (reuse path) must be finer
+    // than the query box for pruning to be observable at this toy scale —
+    // an append's shard bounds are the union of ITS files only, and a
+    // 2-shard append spans near-global bounds
     (0 until 3).foreach(u =>
-      st.append(pts.filter(col("id") % 3 === u), s"u-$u", numPartitions = 4))
+      st.append(pts.filter(col("id") % 3 === u), s"u-$u", numPartitions = 8))
     val cur = st.currentSnapshotId
     // the root is a manifest LIST with shard files on disk
     val rootJson = Files.readString(
@@ -348,15 +352,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
       Files.exists(java.nio.file.Paths.get(root, "meta", sm.path))))
     assert(inline.forall(e => e.kind != "data" || e.path.isEmpty))
     // full reassembly: content identical to the raw table
-    assert(st.manifest().count(e => e.kind == "data" && e.path.nonEmpty) == 12)
+    assert(st.manifest().count(e => e.kind == "data" && e.path.nonEmpty) == 24)
     assert(st.read()._1.count() == pts.count())
     // shard pruning: a small box loads FEWER data entries than the
     // snapshot holds, while the true total stays known without reading
     val b = graft.data.Fixtures.boxes(4)._2 // the tiny map.osm-bounds box
     val (loaded, total) = st.manifestPartial(cur, Some(Seq(b)))
-    assert(total == 12)
-    assert(loaded.count(_.kind == "data") < 12,
+    assert(total == 24)
+    assert(loaded.count(_.kind == "data") < 24,
       s"box read parsed all $total manifest entries")
+    // compaction re-chunks GLOBALLY by minZ (Iceberg's rewrite-manifests
+    // analog): the per-append shard overlap the reuse path accumulates is
+    // repaired, and pruning stays observable on the compacted layout
+    // (24 files, the same granularity as pre-compact — at 8 files a
+    // single 3-file shard's Z-span crosses quadrant boundaries and its
+    // lat/lon union covers the toy box from every shard)
+    st.compact(numPartitions = 24)
+    val (loadedC, totalC) =
+      st.manifestPartial(st.currentSnapshotId, Some(Seq(b)))
+    assert(loadedC.count(_.kind == "data") < totalC,
+      s"post-compact box read parsed all $totalC manifest entries")
+    assert(st.read()._1.count() == pts.count())
     // the pruned read is still exact
     val got = st.read(Some(b))._1
       .filter(graft.geo.GeoCols.inBox(col("lat"), col("lon"), b))
@@ -378,6 +394,70 @@ class SnapshotStoreSpec extends AnyFunSuite {
       assert(!Files.exists(java.nio.file.Paths.get(root, "meta", s"snap-$k")))
     }
     assert(st.read()._1.count() == pts.filter(col("id") % 5 =!= 0).count())
+  }
+
+  test("commit onto a sharded parent reuses its shard files by reference") {
+    // shard reuse (round-5 review): an append must be O(commit size)
+    // driver JSON, not O(table file count) — the parent's shard files
+    // ride into the child root unrewritten (the Iceberg manifest-list
+    // contract: manifests are immutable and carried forward)
+    val root = tmp()
+    val st = new SnapshotStore(spark, root, manifestShardRows = 3)
+    st.append(pts.filter(col("id") % 3 === 0), "u-0", numPartitions = 4)
+    st.append(pts.filter(col("id") % 3 === 1), "u-1", numPartitions = 4)
+    val metaP = java.nio.file.Paths.get(root, "meta")
+    def shardsOf(snap: Long) = graft.table.MetaJson.parseManifestRoot(
+      Files.readString(metaP.resolve(s"snap-$snap")))._1
+    val parentShards = shardsOf(st.currentSnapshotId)
+    assert(parentShards.nonEmpty)
+    val parentBytes = parentShards.map(sm =>
+      sm.path -> Files.readString(metaP.resolve(sm.path))).toMap
+    st.append(pts.filter(col("id") % 3 === 2), "u-2", numPartitions = 4)
+    val cur = st.currentSnapshotId
+    val childShards = shardsOf(cur)
+    // every parent shard is carried: same path, byte-identical content
+    assert(parentShards.map(_.path).toSet.subsetOf(childShards.map(_.path).toSet))
+    parentBytes.foreach { case (p, bytes) =>
+      assert(Files.readString(metaP.resolve(p)) == bytes,
+        s"carried shard $p was rewritten")
+    }
+    // and the only NEW shard files belong to the committing snapshot
+    val fresh = childShards.map(_.path).toSet -- parentShards.map(_.path).toSet
+    assert(fresh.nonEmpty &&
+      fresh.forall(_.startsWith(s"snap-$cur-shard-")),
+      s"unexpected new shards $fresh")
+    // the reassembled table is exact
+    assert(st.read()._1.count() == pts.count())
+    assert(st.manifest().count(e => e.kind == "data" && e.path.nonEmpty) == 12)
+  }
+
+  test("expiry keeps shards shared with retained snapshots; unreferenced shard debris is swept") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root, manifestShardRows = 3)
+    (0 until 3).foreach(u =>
+      st.append(pts.filter(col("id") % 3 === u), s"u-$u", numPartitions = 4))
+    val metaP = java.nio.file.Paths.get(root, "meta")
+    val cur = st.currentSnapshotId
+    val curShards = graft.table.MetaJson.parseManifestRoot(
+      Files.readString(metaP.resolve(s"snap-$cur")))._1.map(_.path)
+    // most of the current root's shards were created by EXPIRED commits —
+    // under shard reuse expiry must not delete what the survivor references
+    st.expireSnapshots(keepLast = 1)
+    curShards.foreach(p => assert(Files.exists(metaP.resolve(p)),
+      s"expiry deleted shard $p still referenced by the current snapshot"))
+    assert(st.read()._1.count() == pts.count())
+    // plant same-id shard debris: a writer that crashed mid-commit before
+    // writing its root, whose snapshot id a retrying racer then committed
+    // (the `id > cur` sweep rule alone never reclaims it)
+    val debris = metaP.resolve(s"snap-$cur-shard-9-deadbeef.json")
+    Files.writeString(debris, graft.table.MetaJson.manifestJson(Seq.empty))
+    Files.setLastModifiedTime(debris, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 120000))
+    st.append(pts.limit(10), "u-late", numPartitions = 1) // commit → sweep
+    assert(!Files.exists(debris), "unreferenced shard debris survived the sweep")
+    // while every live carried shard survived it
+    curShards.foreach(p => assert(Files.exists(metaP.resolve(p))))
+    assert(st.read()._1.count() == pts.count() + 10)
   }
 
   test("stored-table rangeBox (q09d path): files pruned at two scales, rows exact") {
