@@ -53,7 +53,8 @@ object ManifestScaleBench {
           ShardMeta(s"shard-$n-$k.json", g.size,
             g.map(_.minZ).min, g.map(_.maxZ).max,
             g.map(_.minLat).min, g.map(_.maxLat).max,
-            g.map(_.minLon).min, g.map(_.maxLon).max)
+            g.map(_.minLon).min, g.map(_.maxLon).max,
+            lineages = Some(g.map(_.lineageId).distinct))
         }
         Files.writeString(dir.resolve(s"root-$n.json"),
           MetaJson.manifestListJson(metas, Seq.empty))
@@ -89,15 +90,28 @@ object ManifestScaleBench {
         val sm = ShardMeta(s"shard-$n-new.json", appendEntries.size,
           appendEntries.map(_.minZ).min, appendEntries.map(_.maxZ).max,
           appendEntries.map(_.minLat).min, appendEntries.map(_.maxLat).max,
-          appendEntries.map(_.minLon).min, appendEntries.map(_.maxLon).max)
+          appendEntries.map(_.minLon).min, appendEntries.map(_.maxLon).max,
+          lineages = Some(appendEntries.map(_.lineageId).distinct))
         Files.writeString(dir.resolve(s"root-$n-next.json"),
           MetaJson.manifestListJson(pShards :+ sm, Seq.empty))
       }
+      // streaming idempotence check (committedLineage): the lineage set
+      // from the ROOT's per-shard summaries alone — the per-micro-batch
+      // cost, vs the full parse (≈ flatParseMs) a summary-less root pays
+      var lineageCount = 0
+      val tLineageRoot = timeMs {
+        val (shards, inline) = MetaJson.parseManifestRoot(
+          Files.readString(dir.resolve(s"root-$n.json")))
+        lineageCount = (inline.map(_.lineageId) ++
+          shards.flatMap(_.lineages.getOrElse(Seq.empty))).distinct.size
+      }
+      require(lineageCount == n / 1000, s"lineage summary lost units: $lineageCount")
       println(f"entries=$n%8d flatMB=${flatBytes / 1e6}%8.1f " +
         f"flatWriteMs=$tFlatWrite%8.0f flatParseMs=$tFlatParse%8.0f " +
         f"planFlatMs=$tPlanFlat%8.0f | rootKB=${rootBytes / 1e3}%6.1f " +
         f"shardWriteMs=$tShardWrite%8.0f planShardedMs=$tPlanSharded%7.0f " +
-        f"entriesLoaded=$loaded%8d commitReuseMs=$tCommitReuse%7.0f")
+        f"entriesLoaded=$loaded%8d commitReuseMs=$tCommitReuse%7.0f " +
+        f"lineageRootMs=$tLineageRoot%7.0f")
     }
     // cleanup
     Files.list(dir).forEach(p => Files.deleteIfExists(p))

@@ -22,11 +22,18 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 /** One shard row of a two-level manifest LIST: where the shard file is,
   * how many data entries it holds, and the union bounds (curve-key and
   * lat/lon) of those entries — everything a planner needs to decide
-  * whether to download the shard at all. */
+  * whether to download the shard at all. `lineages` is the distinct
+  * lineage-id summary of the shard's entries (usually ONE — a shard is
+  * written by a single commit), letting the streaming-ingest idempotence
+  * check ([[graft.table.SnapshotStore.committedLineage]]) read the root
+  * alone instead of parsing every shard per micro-batch; `None` means a
+  * root written before the field existed — unknown, never assumed empty
+  * (the reader falls back to a full parse). */
 final case class ShardMeta(path: String, entries: Int,
                            minZ: Long, maxZ: Long,
                            minLat: Double, maxLat: Double,
-                           minLon: Double, maxLon: Double)
+                           minLon: Double, maxLon: Double,
+                           lineages: Option[Seq[String]] = None)
 
 object MetaJson {
 
@@ -94,6 +101,9 @@ object MetaJson {
       o.put("minZ", sm.minZ); o.put("maxZ", sm.maxZ)
       o.put("minLat", sm.minLat); o.put("maxLat", sm.maxLat)
       o.put("minLon", sm.minLon); o.put("maxLon", sm.maxLon)
+      sm.lineages.foreach { ls =>
+        val la = o.putArray("lineages"); ls.foreach(la.add)
+      }
     }
     val eArr = root.putArray("entries")
     inline.foreach(e => eArr.add(entryNode(e)))
@@ -118,10 +128,18 @@ object MetaJson {
         Option(o.get(n)).map(_.asDouble()).getOrElse(dv)
       (0 until arr.size()).map { i =>
         val o = arr.get(i)
+        // absent lineages node stays None (pre-field roots: UNKNOWN, the
+        // reader must full-parse) — never defaulted to the empty list,
+        // which would silently claim "no lineages in this shard"
+        val lin = Option(o.get("lineages")).map { ln =>
+          val a = ln.asInstanceOf[ArrayNode]
+          (0 until a.size()).map(j => a.get(j).asText())
+        }
         ShardMeta(o.get("path").asText(), o.get("entries").asInt(),
           l(o, "minZ", Long.MinValue), l(o, "maxZ", Long.MaxValue),
           d(o, "minLat", -Double.MaxValue), d(o, "maxLat", Double.MaxValue),
-          d(o, "minLon", -Double.MaxValue), d(o, "maxLon", Double.MaxValue))
+          d(o, "minLon", -Double.MaxValue), d(o, "maxLon", Double.MaxValue),
+          lin)
       }
     }.getOrElse(Seq.empty)
     (shards, entries)

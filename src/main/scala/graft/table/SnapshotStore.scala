@@ -315,7 +315,29 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     else rows.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
   }
 
-  def committedLineage: Set[String] = manifest().map(_.lineageId).toSet
+  /** Lineage ids present in the current snapshot — the idempotence check
+    * streaming ingestion runs per MICRO-BATCH ([[resumableRun]] /
+    * StreamIngest). On a two-level manifest whose shard rows all carry
+    * the `lineages` summary this reads the ROOT alone (KBs at the
+    * 10⁶-file design point); a root with any pre-summary shard row, a
+    * flat manifest, or a legacy table falls back to the full parse —
+    * an UNKNOWN summary must widen the read, never shrink the set (a
+    * missed lineage would re-append a committed unit: duplicate rows). */
+  def committedLineage: Set[String] = {
+    val cur = currentSnapshotId
+    if (cur == 0) Set.empty
+    else {
+      val p = metaDir.resolve(s"snap-$cur")
+      if (Files.isRegularFile(p)) {
+        val (shards, inline) = MetaJson.parseManifestRoot(Files.readString(p))
+        if (shards.nonEmpty && shards.forall(_.lineages.isDefined))
+          inline.map(_.lineageId).toSet ++ shards.flatMap(_.lineages.get)
+        else inline.map(_.lineageId).toSet ++
+          (if (shards.isEmpty) Set.empty[String]
+           else manifest(cur).map(_.lineageId).toSet)
+      } else manifest(cur).map(_.lineageId).toSet
+    }
+  }
 
   /** Live-row count from manifest stats alone — the plan-time input to
     * [[graft.geo.CellId.pickResolution]] (adaptive covering resolution
@@ -633,7 +655,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
           (ShardMeta(name, g.size,
             g.map(_.minZ).min, g.map(_.maxZ).max,
             g.map(_.minLat).min, g.map(_.maxLat).max,
-            g.map(_.minLon).min, g.map(_.maxLon).max), g)
+            g.map(_.minLon).min, g.map(_.maxLon).max,
+            lineages = Some(g.map(_.lineageId).distinct)), g)
         }.toSeq
     try {
       if (pShards.isEmpty) {

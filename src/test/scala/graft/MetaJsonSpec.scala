@@ -101,4 +101,21 @@ class MetaJsonSpec extends AnyFunSuite {
     val Seq(f) = MetaJson.parseManifest(future)
     assert(f.kind == "delete" && f.seq == 9L)
   }
+
+  test("manifest-list shard rows round-trip lineage summaries; absent summaries stay UNKNOWN, not empty") {
+    import graft.table.ShardMeta
+    val withLin = ShardMeta("snap-3-shard-0-ab.json", 7, -5L, 9L,
+      -10.0, 20.0, -30.0, 40.0, lineages = Some(Seq("u-0", "del-0")))
+    val noLin = ShardMeta("snap-3-shard-1-ab.json", 2, 10L, 99L,
+      21.0, 50.0, 41.0, 80.0, lineages = None)
+    val json = MetaJson.manifestListJson(Seq(withLin, noLin), Seq.empty)
+    val (back, _) = MetaJson.parseManifestRoot(json)
+    assert(back == Seq(withLin, noLin))
+    // the distinction matters downstream: Some(xs) is authoritative
+    // (committedLineage reads the root alone), None forces a full parse —
+    // a default-to-empty would silently claim "no lineages here" and
+    // re-append committed streaming units as duplicates
+    assert(back.head.lineages.contains(Seq("u-0", "del-0")))
+    assert(back(1).lineages.isEmpty)
+  }
 }
