@@ -60,9 +60,11 @@ final case class FileEntry(path: String, rows: Long, minZ: Long, maxZ: Long,
   * entries as a new shard, so the commit path is O(commit size), not
   * O(table) ([[writeManifestFile]]); [[compact]] re-chunks globally
   * (Iceberg's rewrite-manifests analog). Key lookups ([[lookupByKey]])
-  * read all shards (Bloom pruning is per-entry; a key-sorted shard
-  * dimension would be the next step if lookups dominate — real Iceberg
-  * accepts the same cost for non-partition-column lookups).
+  * prune shards through the lineage summaries: the per-unit Bloom
+  * sidecars name the units that might hold a probed key, and only
+  * shards carrying those units (or units with no consulted sidecar —
+  * fail open) are parsed. The remaining O(table) term on the lookup
+  * path is the Bloom sidecar read itself — the index being consulted.
   * Compaction bounds entry-count growth between appends either way.
   */
 /** What a commit wrote, for read-back verification: `fullExpect` is the
@@ -265,7 +267,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * entries plus the TOTAL data-file count of the snapshot (known from
     * the shard rows without reading them) so pruning stays observable. */
   private[graft] def manifestPartial(snapshotId: Long,
-                                     boxes: Option[Seq[MBR]]): (Seq[FileEntry], Int) = {
+                                     boxes: Option[Seq[MBR]],
+                                     lineageHint: Option[String => Boolean] = None)
+      : (Seq[FileEntry], Int) = {
     def dataCount(es: Seq[FileEntry]): Int =
       es.count(e => e.kind == "data" && e.path.nonEmpty)
     if (snapshotId == 0) (Seq.empty, 0)
@@ -278,10 +282,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         val (shards, inline) = MetaJson.parseManifestRoot(Files.readString(p))
         if (shards.isEmpty) (inline, dataCount(inline))
         else {
-          val wanted = boxes match {
-            case Some(bs) => shards.filter(sm => bs.exists(b =>
-              MBR(sm.minLat, sm.minLon, sm.maxLat, sm.maxLon).overlaps(b)))
-            case None => shards
+          // both prunes are fail-open: a shard with unknown bounds or an
+          // unknown lineage summary always loads — a pruner may only skip
+          // what it can PROVE irrelevant
+          val wanted = shards.filter { sm =>
+            boxes.forall(bs => bs.exists(b =>
+              MBR(sm.minLat, sm.minLon, sm.maxLat, sm.maxLon).overlaps(b))) &&
+            lineageHint.forall(want => sm.lineages.forall(_.exists(want)))
           }
           val loaded = inline ++ wanted.flatMap(sm =>
             MetaJson.parseManifest(Files.readString(metaDir.resolve(sm.path))))
@@ -456,21 +463,50 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * Sidecars written by the pre-JSON format (parquet dirs) are NOT
     * consulted: they carried pruning hints only, so reads stay correct
     * (fail open, every unhinted file opens); one compact() regenerates
-    * current-format sidecars for the whole table. */
+    * current-format sidecars for the whole table.
+    *
+    * On a two-level manifest the Bloom verdict also prunes SHARDS: a
+    * sidecar is per-unit (lineage), shard rows carry their lineage
+    * summaries, so only shards holding a bloom-HIT unit — or a unit with
+    * no consulted sidecar (fail open) — are parsed at all
+    * ([[lookupShardFilter]]). A point lookup then costs one root parse +
+    * the hit units' shards, not the full manifest. */
   def lookupByKey(values: Seq[Any], keyCol: String = ""): (DataFrame, Int, Int) = {
     val key = if (keyCol.nonEmpty) keyCol
       else bloomKey.getOrElse(throw new IllegalArgumentException(
         "store has no bloomKey: pass keyCol explicitly"))
-    val filters: Map[String, Array[Long]] =
-      sidecarFiles(bloomDir).flatMap { f =>
-        val (kc, k, perFile) = MetaJson.parseBloom(Files.readString(f))
-        if (kc == key && k == Bloom.K) perFile else Seq.empty
-      }.toMap
+    val (filters, shardFilter) = lookupShardFilter(values, key)
     val hashes = values.map(Bloom.hashLiteral)
     planAt(currentSnapshotId,
       keep = e => filters.get(normPath(e.path))
         .forall(bits => hashes.exists(Bloom.mightContain(bits, _))),
-      refine = df => df.filter(col(key).isin(values: _*)))
+      refine = df => df.filter(col(key).isin(values: _*)),
+      lineageHint = Some(shardFilter))
+  }
+
+  /** The per-file Bloom map and the shard-level lineage predicate a key
+    * lookup plans with: a lineage passes iff some of its files' filters
+    * MIGHT contain a probed key, or no sidecar for it was consulted
+    * (unknown coverage must fail open — skipping it could drop live
+    * rows). The lineage is recovered from the sidecar file name
+    * (`<lineage>-<uuid8>.json`, [[writeSidecars]]); orphan sidecars from
+    * a crashed duplicate append can only WIDEN the hit set, never shrink
+    * it. */
+  private[graft] def lookupShardFilter(values: Seq[Any], key: String)
+      : (Map[String, Array[Long]], String => Boolean) = {
+    val hashes = values.map(Bloom.hashLiteral)
+    val perUnit: Seq[(String, Seq[(String, Array[Long])])] =
+      sidecarFiles(bloomDir).flatMap { f =>
+        val (kc, k, perFile) = MetaJson.parseBloom(Files.readString(f))
+        if (kc == key && k == Bloom.K)
+          Some(f.getFileName.toString.stripSuffix(".json").dropRight(9) -> perFile.toSeq)
+        else None
+      }
+    val covered = perUnit.map(_._1).toSet
+    val hit = perUnit.collect { case (lin, pf)
+      if pf.exists { case (_, bits) =>
+        hashes.exists(Bloom.mightContain(bits, _)) } => lin }.toSet
+    (perUnit.flatMap(_._2).toMap, l => hit(l) || !covered(l))
   }
 
   /** JSON sidecar files under a meta subdirectory (empty if absent). */
@@ -885,14 +921,17 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * tombstone chain below. */
   private def planAt(snapshotId: Long, keep: FileEntry => Boolean,
                      refine: DataFrame => DataFrame,
-                     boxesHint: Option[Seq[MBR]] = None): (DataFrame, Int, Int) = {
+                     boxesHint: Option[Seq[MBR]] = None,
+                     lineageHint: Option[String => Boolean] = None)
+      : (DataFrame, Int, Int) = {
     // drop compaction lineage markers (zero-file entries kept only so
     // resumableRun still recognizes pre-compaction units as committed).
-    // boxesHint prunes manifest SHARDS before any entry is even parsed
-    // (two-level list, [[manifestPartial]]) — entries in a skipped shard
-    // are provably disjoint from every box, so `keep` would reject them
-    // anyway; totalData stays the snapshot's true file count.
-    val (loaded, totalData) = manifestPartial(snapshotId, boxesHint)
+    // boxesHint / lineageHint prune manifest SHARDS before any entry is
+    // even parsed (two-level list, [[manifestPartial]]) — entries in a
+    // skipped shard are provably disjoint from every box / bloom-clear
+    // for every probed key, so `keep` would reject them anyway;
+    // totalData stays the snapshot's true file count.
+    val (loaded, totalData) = manifestPartial(snapshotId, boxesHint, lineageHint)
     val all = loaded.filter(_.path.nonEmpty)
     val entries = all.filter(_.kind == "data")
     require(totalData > 0, "empty table: nothing committed yet")

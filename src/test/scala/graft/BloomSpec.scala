@@ -69,6 +69,46 @@ class BloomSpec extends AnyFunSuite {
     assert(keptMulti <= 6)
   }
 
+  test("two-level manifest: a key lookup parses only the bloom-hit units' shards") {
+    // the lineage-summary × bloom-sidecar composition: a point lookup on
+    // a sharded table reads root + the HIT units' shards, not the full
+    // manifest — O(match), with unknown coverage failing open
+    val root = tmp()
+    val st = new SnapshotStore(spark, root, bloomKey = Some("id"),
+      manifestShardRows = 3)
+    (0 until 3).foreach(u =>
+      st.append(pts.filter(pmod(col("id"), lit(3)) === u), s"unit-$u",
+        numPartitions = 4))
+    val ids = norm(pts).map(_._1).distinct
+    val probe = ids.find(_ % 3 == 0).get // lives in unit-0 only
+    // shard-level skip observable through the planner's own filter
+    val (_, shardFilter) = st.lookupShardFilter(Seq(probe), "id")
+    val cur = st.currentSnapshotId
+    val (loaded, total) =
+      st.manifestPartial(cur, None, Some(shardFilter))
+    assert(total == 12)
+    assert(loaded.count(_.kind == "data") < 12,
+      "lookup parsed every manifest shard")
+    // ...and the covered-but-not-hit skip never drops rows: result exact
+    val (df, kept, tot) = st.lookupByKey(Seq(probe))
+    assert(tot == 12 && kept <= 3)
+    assert(norm(df) == norm(pts.filter(col("id") === probe)))
+    // a unit with NO sidecar keeps its shards loaded (fail open): strip
+    // unit-1's bloom sidecar and look up one of ITS keys
+    val bloomP = java.nio.file.Paths.get(root, "meta", "bloom")
+    val u1 = {
+      val s = Files.list(bloomP)
+      val f = try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(_.getFileName.toString.startsWith("unit-1-")).get
+      } finally s.close()
+      Files.delete(f); f
+    }
+    val probe1 = ids.find(_ % 3 == 1).get
+    val (df1, _, _) = st.lookupByKey(Seq(probe1))
+    assert(norm(df1) == norm(pts.filter(col("id") === probe1)),
+      s"uncovered unit's rows dropped after removing ${u1.getFileName}")
+  }
+
   test("tombstones apply to lookups; compaction refreshes sidecars") {
     val root = tmp()
     val st = freshStore(root)
