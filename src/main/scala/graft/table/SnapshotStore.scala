@@ -475,8 +475,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val key = if (keyCol.nonEmpty) keyCol
       else bloomKey.getOrElse(throw new IllegalArgumentException(
         "store has no bloomKey: pass keyCol explicitly"))
-    val (filters, shardFilter) = lookupShardFilter(values, key)
-    val hashes = values.map(Bloom.hashLiteral)
+    val (filters, hashes, shardFilter) = lookupShardFilter(values, key)
     planAt(currentSnapshotId,
       keep = e => filters.get(normPath(e.path))
         .forall(bits => hashes.exists(Bloom.mightContain(bits, _))),
@@ -484,29 +483,27 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       lineageHint = Some(shardFilter))
   }
 
-  /** The per-file Bloom map and the shard-level lineage predicate a key
-    * lookup plans with: a lineage passes iff some of its files' filters
-    * MIGHT contain a probed key, or no sidecar for it was consulted
-    * (unknown coverage must fail open — skipping it could drop live
-    * rows). The lineage is recovered from the sidecar file name
-    * (`<lineage>-<uuid8>.json`, [[writeSidecars]]); orphan sidecars from
-    * a crashed duplicate append can only WIDEN the hit set, never shrink
-    * it. */
+  /** The per-file Bloom map, probe hashes, and the shard-level lineage
+    * predicate a key lookup plans with: a lineage passes iff some of its
+    * files' filters MIGHT contain a probed key, or no sidecar for it was
+    * consulted (unknown coverage must fail open — skipping it could drop
+    * live rows). The lineage is recovered from the sidecar file name
+    * ([[sidecarLineage]]); orphan sidecars from a crashed duplicate
+    * append can only WIDEN the hit set, never shrink it. */
   private[graft] def lookupShardFilter(values: Seq[Any], key: String)
-      : (Map[String, Array[Long]], String => Boolean) = {
+      : (Map[String, Array[Long]], Seq[Long], String => Boolean) = {
     val hashes = values.map(Bloom.hashLiteral)
     val perUnit: Seq[(String, Seq[(String, Array[Long])])] =
       sidecarFiles(bloomDir).flatMap { f =>
         val (kc, k, perFile) = MetaJson.parseBloom(Files.readString(f))
-        if (kc == key && k == Bloom.K)
-          Some(f.getFileName.toString.stripSuffix(".json").dropRight(9) -> perFile.toSeq)
+        if (kc == key && k == Bloom.K) Some(sidecarLineage(f) -> perFile.toSeq)
         else None
       }
     val covered = perUnit.map(_._1).toSet
     val hit = perUnit.collect { case (lin, pf)
       if pf.exists { case (_, bits) =>
         hashes.exists(Bloom.mightContain(bits, _)) } => lin }.toSet
-    (perUnit.flatMap(_._2).toMap, l => hit(l) || !covered(l))
+    (perUnit.flatMap(_._2).toMap, hashes, l => hit(l) || !covered(l))
   }
 
   /** JSON sidecar files under a meta subdirectory (empty if absent). */
@@ -714,9 +711,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         }
       } else {
         // sharded parent: carry its shards BY REFERENCE, chunk only the
-        // new data entries (usually one small shard per append)
+        // new data entries (usually one small shard per append). A
+        // sharded root normally holds no inline data entries, but the
+        // format admits them (one parser reads both layouts) — fold any
+        // into the new shard rather than silently dropping them
         val inline = pInline.filterNot(isData) ++ stamped.filterNot(isData)
-        val fresh = writeShards(newData)
+        val fresh = writeShards(pInline.filter(isData) ++ newData)
         val shards = pShards ++ fresh.map(_._1)
         Files.writeString(rootPath, MetaJson.manifestListJson(shards, inline),
           StandardOpenOption.CREATE_NEW)
@@ -733,39 +733,57 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     }
   }
 
-  /** Shard paths referenced by every OTHER existing snapshot root. Under
-    * shard reuse a shard written at snap-k is referenced by k and every
-    * descendant until a replacing commit — deletion must check the whole
-    * root set, not just the snapshot being dropped. Roots of sharded
-    * tables are KBs (shard list + inline non-data rows), so this scan is
-    * cheap even at the 10⁶-file design point. */
-  private def referencedShardPaths(excludeId: Long): Set[String] =
-    listDir(metaDir).flatMap { p =>
+  /** Shard paths referenced by every existing snapshot root except
+    * `excludeIds`. Under shard reuse a shard written at snap-k is
+    * referenced by k and every descendant until a replacing commit —
+    * deletion must check the whole root set, not just the snapshot being
+    * dropped. Roots of sharded tables are KBs (shard list + inline
+    * non-data rows), so this scan is cheap even at the 10⁶-file design
+    * point. Returns None if ANY root is unreadable: an unknown reference
+    * set must FAIL CLOSED — callers delete nothing rather than treat
+    * "couldn't read the root" as "references nothing" and destroy live
+    * shards on a transient IO error. */
+  private def referencedShardPaths(excludeIds: Set[Long]): Option[Set[String]] = {
+    val acc = Set.newBuilder[String]
+    val allReadable = listDir(metaDir).forall { p =>
       val name = p.getFileName.toString
       val digits = name.drop(5)
       if (name.startsWith("snap-") && digits.nonEmpty && digits.length <= 18 &&
-          digits.forall(_.isDigit) && digits.toLong != excludeId &&
+          digits.forall(_.isDigit) && !excludeIds.contains(digits.toLong) &&
           Files.isRegularFile(p))
-        try MetaJson.parseManifestRoot(Files.readString(p))._1.map(_.path)
-        catch { case _: Throwable => Seq.empty[String] }
-      else Seq.empty[String]
-    }.toSet
+        try {
+          acc ++= MetaJson.parseManifestRoot(Files.readString(p))._1.map(_.path)
+          true
+        } catch { case _: Throwable => false }
+      else true
+    }
+    if (allReadable) Some(acc.result()) else None
+  }
 
   /** Delete a snapshot's manifest root AND the shard files only IT
     * references (if the snapshot is a two-level list) — shards carried
     * forward into retained snapshots must survive, and the shard names
     * are only recorded in roots, so the root must be read before it is
     * removed. */
-  private def deleteSnapshotArtifacts(k: Long): Unit = {
+  private def deleteSnapshotArtifacts(k: Long): Unit =
+    deleteSnapshotArtifacts(k, referencedShardPaths(Set(k)))
+
+  /** Batch form: `keep` is the (possibly precomputed) reference set of
+    * the roots that SURVIVE — None means it could not be established, in
+    * which case no shard file is deleted (fail closed; [[vacuum]] will
+    * reclaim the debris once the roots read cleanly again). */
+  private def deleteSnapshotArtifacts(k: Long,
+                                      keep: Option[Set[String]]): Unit = {
     val p = metaDir.resolve(s"snap-$k")
     if (Files.isRegularFile(p)) {
       try {
         val (shards, _) = MetaJson.parseManifestRoot(Files.readString(p))
-        if (shards.nonEmpty) {
-          val keep = referencedShardPaths(k)
-          shards.filterNot(sm => keep.contains(sm.path))
-            .foreach(sm => try Files.deleteIfExists(metaDir.resolve(sm.path))
-              catch { case _: Throwable => () })
+        keep match {
+          case Some(ks) if shards.nonEmpty =>
+            shards.filterNot(sm => ks.contains(sm.path))
+              .foreach(sm => try Files.deleteIfExists(metaDir.resolve(sm.path))
+                catch { case _: Throwable => () })
+          case _ => () // unknown reference set: leave every shard in place
         }
       } catch { case _: Throwable => () }
     }
@@ -804,13 +822,6 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: Throwable => false }
     val shardRe = "^snap-([0-9]{1,18})-shard-.*\\.json$".r
-    // computed at most once per sweep, and only if a stale shard file
-    // exists at all: live carried shards ARE old files, so the reference
-    // set (union of every root's shard list — KBs each) is what separates
-    // them from debris left by a writer that crashed mid-commit and whose
-    // snapshot id was later committed by a retrying racer (such shards
-    // are referenced by NO root, at any id, ever)
-    lazy val referenced = referencedShardPaths(-1L)
     listDir(metaDir).foreach { p =>
       val name = p.getFileName.toString
       val digits = name.drop(5)
@@ -820,8 +831,14 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
             digits.length <= 18 && digits.forall(_.isDigit) &&
             digits.toLong > cur) || // guarded parse: debris like "snap-" or an
                                     // overlong id must not wedge every commit
-          (name match { // shard files no root references: crashed-commit
-            case shardRe(_) => !referenced.contains(name)
+          (name match { // shard files of an uncommitted (crashed) snapshot.
+            // Same-id debris — a crashed writer whose snapshot id a
+            // retrying racer later committed — needs the full
+            // reference-check sweep, which is [[vacuum]]'s job: live
+            // carried shards are old files too, so the id rule alone
+            // can't tell them apart, and parsing every root here would
+            // put an O(roots) JSON cost on EVERY commit.
+            case shardRe(d) => d.toLong > cur
             case _          => false
           })
       if (orphan && stale(p)) deleteRecursive(p)
@@ -1126,7 +1143,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * paths). Iceberg's remove-orphan-files analog. The reference set spans
     * ALL snapshots, not just the current one, so time-travel reads of
     * pre-compaction manifests stay valid; age-gating keeps an in-flight
-    * append's freshly written unit safe. Returns the dirs removed. */
+    * append's freshly written unit safe. Also reclaims manifest-shard
+    * JSONs no root references (crashed-commit debris the per-commit
+    * sweep's id rule cannot distinguish from live carried shards).
+    * Returns the dirs and shard files removed. */
   def vacuum(olderThanMs: Long = 3600000L): Seq[String] = {
     // manifest paths are Hadoop URIs (file:/tmp/...); the filesystem walk
     // yields plain (possibly relative/symlinked) paths — canonicalize BOTH
@@ -1150,13 +1170,33 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     if (referenced.nonEmpty && !dirs.exists(d => referenced.contains(canon(d))))
       return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
-    dirs
+    val removedDirs = dirs
       .filter { d =>
         !referenced.contains(canon(d)) &&
           (try Files.getLastModifiedTime(d).toMillis < cutoff
            catch { case _: Throwable => false })
       }
       .map { d => deleteRecursive(d); d.toString }
+    // manifest-shard debris: shard JSONs no existing root references — a
+    // writer that crashed mid-commit whose snapshot id a retrying racer
+    // later committed (the commit-time sweep's id>cur rule can never
+    // reclaim those; the per-commit path deliberately skips this O(roots)
+    // reference check). Deleting requires a KNOWN reference set: an
+    // unreadable root returns None and nothing is touched (fail closed).
+    val shardRe = "^snap-([0-9]{1,18})-shard-.*\\.json$".r
+    val removedShards = referencedShardPaths(Set.empty) match {
+      case Some(refs) =>
+        listDir(metaDir).filter { p =>
+          (p.getFileName.toString match {
+            case shardRe(_) => !refs.contains(p.getFileName.toString)
+            case _          => false
+          }) &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: Throwable => false })
+        }.map { p => deleteRecursive(p); p.toString }
+      case None => Seq.empty
+    }
+    removedDirs ++ removedShards
   }
 
   /** Retire history: delete manifests of snapshots older than the newest
@@ -1172,7 +1212,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val cur = currentSnapshotId
     val expired = (1L to cur - keepLast).filter(k =>
       Files.exists(metaDir.resolve(s"snap-$k")))
-    expired.foreach(deleteSnapshotArtifacts)
+    // ONE reference-set computation for the whole batch, excluding every
+    // to-be-expired id (they are all being dropped, so their references
+    // must not pin shards) — per-snapshot recomputation made expiry
+    // O(expired × remaining roots) on a long streaming history
+    val keep = referencedShardPaths(expired.toSet)
+    expired.foreach(k => deleteSnapshotArtifacts(k, keep))
     expired
   }
 

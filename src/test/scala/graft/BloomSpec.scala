@@ -82,7 +82,7 @@ class BloomSpec extends AnyFunSuite {
     val ids = norm(pts).map(_._1).distinct
     val probe = ids.find(_ % 3 == 0).get // lives in unit-0 only
     // shard-level skip observable through the planner's own filter
-    val (_, shardFilter) = st.lookupShardFilter(Seq(probe), "id")
+    val (_, _, shardFilter) = st.lookupShardFilter(Seq(probe), "id")
     val cur = st.currentSnapshotId
     val (loaded, total) =
       st.manifestPartial(cur, None, Some(shardFilter))

@@ -448,16 +448,56 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.read()._1.count() == pts.count())
     // plant same-id shard debris: a writer that crashed mid-commit before
     // writing its root, whose snapshot id a retrying racer then committed
-    // (the `id > cur` sweep rule alone never reclaims it)
+    // (the commit-time sweep's `id > cur` rule alone never reclaims it —
+    // the reference-check sweep is vacuum's job, so commits stay O(commit))
     val debris = metaP.resolve(s"snap-$cur-shard-9-deadbeef.json")
     Files.writeString(debris, graft.table.MetaJson.manifestJson(Seq.empty))
     Files.setLastModifiedTime(debris, java.nio.file.attribute.FileTime
       .fromMillis(System.currentTimeMillis() - 120000))
-    st.append(pts.limit(10), "u-late", numPartitions = 1) // commit → sweep
-    assert(!Files.exists(debris), "unreferenced shard debris survived the sweep")
+    st.append(pts.limit(10), "u-late", numPartitions = 1)
+    assert(Files.exists(debris), "commit-time sweep must not pay the reference check")
+    val removed = st.vacuum(olderThanMs = 100000)
+    assert(removed.exists(_.endsWith(s"snap-$cur-shard-9-deadbeef.json")),
+      s"vacuum missed the shard debris: $removed")
+    assert(!Files.exists(debris), "unreferenced shard debris survived vacuum")
     // while every live carried shard survived it
     curShards.foreach(p => assert(Files.exists(metaP.resolve(p))))
     assert(st.read()._1.count() == pts.count() + 10)
+  }
+
+  test("expiry fails closed when a retained root is unreadable: no shard deleted") {
+    // the reference set separating live carried shards from reclaimable
+    // ones is the union of every RETAINED root's shard list — if any of
+    // those roots cannot be read the set is UNKNOWN, and treating unknown
+    // as empty would delete shards the unreadable root still references
+    // (data loss on a transient IO error). Expiry must retire history but
+    // touch no shard file until the roots read cleanly again.
+    val root = tmp()
+    val st = new SnapshotStore(spark, root, manifestShardRows = 3)
+    (0 until 3).foreach(u =>
+      st.append(pts.filter(col("id") % 3 === u), s"u-$u", numPartitions = 4))
+    val metaP = java.nio.file.Paths.get(root, "meta")
+    val cur = st.currentSnapshotId
+    import scala.jdk.CollectionConverters._
+    def shardFiles() = Files.list(metaP).iterator().asScala
+      .filter(_.getFileName.toString.contains("-shard-")).map(_.getFileName.toString).toSet
+    val before = shardFiles()
+    assert(before.nonEmpty)
+    // corrupt a RETAINED root (keepLast=2 keeps cur-1 and cur; cur-1 is
+    // scanned for references when snap-1 expires)
+    val victim = metaP.resolve(s"snap-${cur - 1}")
+    val orig = Files.readString(victim)
+    Files.writeString(victim, "{ not json")
+    assert(st.expireSnapshots(keepLast = 2) == Seq(1L))
+    assert(!Files.exists(metaP.resolve("snap-1")), "history must still retire")
+    assert(shardFiles() == before,
+      "fail-closed expiry deleted a shard file under an unreadable root")
+    // repair the root: the table reads exactly, and the next maintenance
+    // pass sees a clean reference set again
+    Files.writeString(victim, orig)
+    assert(st.read()._1.count() == pts.count())
+    assert(st.expireSnapshots(keepLast = 1) == Seq(cur - 1))
+    assert(st.read()._1.count() == pts.count())
   }
 
   test("committedLineage from the root's shard summaries == full parse; pre-field roots fall back") {
