@@ -80,8 +80,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_lon"),
         info("graft_lon", "graft_lon(phash) - derived longitude from the 64-bit phash"),
         (args: Seq[Expression]) => lonFromPhash(Cast(args.head, LongType))),
-      // the one genuinely custom Expression (codegen'd primitive loop —
-      // HOF lambdas run interpreted and dominate ANN scans otherwise)
+      // range membership for stored-read coverings: O(log n) codegen'd
+      // binary search over a driver-built bounds array — an n-term
+      // BETWEEN disjunction is O(n) per row and measured seconds at a few
+      // hundred ranges ([[graft.functions.ZRangeContains]])
+      (FunctionIdentifier("graft_z_in_ranges"),
+        info("graft_z_in_ranges",
+          "graft_z_in_ranges(z, array<bigint>) - binary-search membership in flattened [lo,hi] key ranges"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_z_in_ranges(z, bounds)")
+          require(args(1).foldable,
+            "graft_z_in_ranges bounds must be a literal array")
+          val ad = args(1).eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          graft.functions.ZRangeContains(Cast(args(0), LongType),
+            ad.toLongArray())
+        }),
+      // the one other genuinely custom Expression (codegen'd primitive
+      // loop — HOF lambdas run interpreted and dominate ANN scans
+      // otherwise)
       (FunctionIdentifier("graft_dot"),
         info("graft_dot", "graft_dot(array<double>, array<double>) - codegen'd dot product"),
         (args: Seq[Expression]) => {

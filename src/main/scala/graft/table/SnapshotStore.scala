@@ -125,6 +125,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   private val tableMetaPath = metaDir.resolve("table.json")
   Files.createDirectories(metaDir)
   Files.createDirectories(Paths.get(root, "data"))
+  // stored reads refine through graft_z_in_ranges (the binary-search
+  // covering probe) — register the graft_* functions on whatever session
+  // owns this store (idempotent; same pattern as AnnOps)
+  graft.plans.GraftExtensions.install(spark)
 
   // The curve and key resolution are WRITE-TIME table properties: opening
   // a hilbert-written table as z (or vice versa) makes curveRangesForMbr
@@ -888,19 +892,23 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       keep = e => boxes.exists(b =>
         MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b)),
       refine = df => {
-        // cap at 256: beyond that the pushed disjunction costs more to
-        // evaluate per row group than the skipping saves
+        // fine covering cap 4096: the row-level membership test is an
+        // O(log n) binary search ([[GeoCols.zCoveringPredicate]]), so a
+        // finer covering only SHRINKS the superset — the old 256 cap
+        // existed because the covering rode in an O(n)-per-row BETWEEN
+        // disjunction (measured 4.1 s at 256 ranges over 600k rows; the
+        // disjunction that parquet row-group skipping sees is now capped
+        // separately at 16 pushable terms inside zCoveringPredicate)
         val ranges = CellId.mergeRanges(boxes.flatMap(curveRangesForMbr),
-          maxRanges = 256)
+          maxRanges = 4096)
         // selectivity cutoff: when the merged covering spans most of the
-        // key domain (e.g. globe-scattered join boxes), the disjunction
-        // skips almost no row group but still costs ~2·|ranges|
-        // comparisons per row — measured +2.5 s on a 600k-row 8-box scan.
-        // The read stays a superset either way; the operator's exact
-        // predicate refines.
+        // key domain (e.g. globe-scattered join boxes), the predicate
+        // excludes almost nothing — skip it entirely rather than pay even
+        // the cheap probe. The read stays a superset either way; the
+        // operator's exact predicate refines.
         val covered = ranges.map(r => (r._2 - r._1 + 1).toDouble).sum
         if (covered / curveKeySpan > 0.5) df
-        else df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
+        else df.filter(GeoCols.zCoveringPredicate(col("__z"), ranges))
       },
       boxesHint = Some(boxes))
   }
@@ -926,7 +934,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       refine = df => box match {
         case Some(b) =>
           val ranges = curveRangesForMbr(b)
-          df.filter(GeoCols.zRangePredicate(col("__z"), ranges))
+          df.filter(GeoCols.zCoveringPredicate(col("__z"), ranges))
         case None => df
       },
       boxesHint = box.map(Seq(_)))

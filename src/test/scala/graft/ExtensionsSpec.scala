@@ -88,4 +88,76 @@ class ExtensionsSpec extends AnyFunSuite {
     // "*(n)" prefixes mark WholeStageCodegen stages in plan toString
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
+
+  test("graft_z_in_ranges: binary search == the BETWEEN-disjunction covering, codegen'd") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic adversarial ranges: mixed widths, touching-but-not-
+    // adjacent neighbors, singletons, extremes of the key domain
+    val rng = new scala.util.Random(42)
+    val raw = (0 until 400).map { _ =>
+      val lo = rng.nextLong(1L << 40); lo -> (lo + rng.nextLong(1L << 20))
+    } ++ Seq(0L -> 0L, (1L << 40) -> (1L << 40)) // singletons at the edges
+    val merged = CellId.mergeRanges(raw, maxRanges = 10000)
+    // probe keys: every boundary, its neighbors, and uniform misses
+    val probes = (merged.flatMap(r => Seq(r._1 - 1, r._1, r._1 + 1,
+      r._2 - 1, r._2, r._2 + 1)) ++
+      (0 until 2000).map(_ => rng.nextLong(1L << 41))).distinct
+    // pure-function ground truth: linear scan over the merged ranges
+    val expect = probes.map(z => z -> merged.exists(r => z >= r._1 && z <= r._2)).toMap
+    // interpreted twin
+    probes.foreach { z =>
+      val bounds = merged.iterator.flatMap(r => Iterator(r._1, r._2)).toArray
+      assert(graft.functions.ZRangeContains.contains(bounds, z) == expect(z),
+        s"interpreted mismatch at z=$z")
+    }
+    // codegen path through a real (non-local) scan, via the hybrid
+    // covering predicate the stored reads use
+    val df = probes.toDF("z").repartition(2)
+    val got = df.filter(graft.geo.GeoCols.zCoveringPredicate(col("z"), merged))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect.collect { case (z, true) => z }.toSet)
+    // under the push cap the predicate IS the plain pushable disjunction
+    val few = merged.take(8)
+    val gotFew = df.filter(graft.geo.GeoCols.zCoveringPredicate(col("z"), few))
+      .collect().map(_.getLong(0)).toSet
+    val gotFewRef = df.filter(graft.geo.GeoCols.zRangePredicate(col("z"), few))
+      .collect().map(_.getLong(0)).toSet
+    assert(gotFew == gotFewRef)
+    // empty bounds: contains() is total and false
+    assert(!graft.functions.ZRangeContains.contains(Array.empty[Long], 7L))
+  }
+
+  test("stored box read keeps a pushable coarse disjunction AND the probe in-plan") {
+    // the hybrid's point: parquet row-group skipping still sees plain
+    // comparisons (PushedFilters non-empty) while the row-level covering
+    // is the O(log n) probe — both must appear in the executed plan
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_zr_push").toString
+    val st = new graft.table.SnapshotStore(spark, root)
+    st.append(graft.data.Points(spark, "/root/testdata/sf0.001"), "u0",
+      numPartitions = 4)
+    // many scattered boxes so the fine covering exceeds the push cap
+    val boxes = (0 until 24).map { i =>
+      val la = -80.0 + i * 6.5; val lo = -170.0 + i * 13.7
+      graft.geo.MBR(la, lo, la + 4.0, lo + 9.0)
+    }
+    val (df, _, _) = st.readBoxes(boxes)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_z_in_ranges"), plan.take(800))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters:"))
+      .getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(__z") ||
+      pushed.contains("Or("), pushed)
+    // and the read is still the exact superset contract: refine == truth
+    val got = df.filter(boxes.map(b =>
+        graft.geo.GeoCols.inBox(col("lat"), col("lon"), b)).reduce(_ || _))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val pts = graft.data.Points(spark, "/root/testdata/sf0.001")
+    val exp = pts.filter(boxes.map(b =>
+        graft.geo.GeoCols.inBox(col("lat"), col("lon"), b)).reduce(_ || _))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp && got.nonEmpty)
+  }
 }
