@@ -113,8 +113,8 @@ object ManifestScaleBench {
         f"entriesLoaded=$loaded%8d commitReuseMs=$tCommitReuse%7.0f " +
         f"lineageRootMs=$tLineageRoot%7.0f")
     }
-    // cleanup
-    Files.list(dir).forEach(p => Files.deleteIfExists(p))
-    Files.deleteIfExists(dir)
+    // cleanup (deleteTree closes its directory stream; a bare Files.list
+    // leaks the fd until GC)
+    graft.ops.OpUtil.deleteTree(dir)
   }
 }

@@ -46,6 +46,18 @@ case class ZRangeContains(child: Expression, bounds: Array[Long])
   override def toString: String =
     s"$prettyName($child, ranges=${bounds.length / 2})"
 
+  // Array[Long] gets identity equals from the case class, which would
+  // make two probes over the same covering compare unequal — defeating
+  // canonicalization-based reuse (semanticEquals, ReuseExchange, CSE)
+  // that the plain BETWEEN disjunction gets for free
+  override def equals(other: Any): Boolean = other match {
+    case z: ZRangeContains =>
+      child == z.child && java.util.Arrays.equals(bounds, z.bounds)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bounds)
+
   override protected def nullSafeEval(input: Any): Any =
     ZRangeContains.contains(bounds, input.asInstanceOf[Long])
 

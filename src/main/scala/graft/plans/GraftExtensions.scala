@@ -91,8 +91,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(args.length == 2, "graft_z_in_ranges(z, bounds)")
           require(args(1).foldable,
             "graft_z_in_ranges bounds must be a literal array")
-          val ad = args(1).eval()
-            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          // cast to array<bigint> before eval: a bare array(1, 2) literal
+          // is array<int> and toLongArray would throw a raw CCE otherwise
+          val ad = Cast(args(1), org.apache.spark.sql.types.ArrayType(LongType))
+            .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          require(ad != null && !(0 until ad.numElements()).exists(ad.isNullAt),
+            "graft_z_in_ranges bounds must be non-null bigint values")
           graft.functions.ZRangeContains(Cast(args(0), LongType),
             ad.toLongArray())
         }),

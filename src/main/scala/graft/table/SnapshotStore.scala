@@ -111,10 +111,16 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     case _         => df.withColumn("__z", GeoCols.zCol(col("lat"), col("lon"), zRes))
   }
 
+  // per-box fine-covering cap 1024 (was 64, a size chosen for the old
+  // O(n)-per-row BETWEEN refine): the row-level membership test is now the
+  // O(log n) probe ([[GeoCols.zCoveringPredicate]]) and the decomposition
+  // cost is cap-independent (full quadtree descent, then coalesce), so a
+  // finer covering only SHRINKS the read superset. The ≤16-term pushable
+  // disjunction parquet sees is capped separately inside the predicate.
   private def curveRangesForMbr(b: MBR): Seq[(Long, Long)] = curve match {
-    case "hilbert" => CellId.hilbertRangesForMbr(b, zRes, maxRanges = 64)
-    case "str" => CellId.strRangesForMbr(b, strStripRes, CellId.MaxRes, maxRanges = 64)
-    case _         => CellId.zRangesForMbr(b, zRes, maxRanges = 64)
+    case "hilbert" => CellId.hilbertRangesForMbr(b, zRes, maxRanges = 1024)
+    case "str" => CellId.strRangesForMbr(b, strStripRes, CellId.MaxRes, maxRanges = 1024)
+    case _         => CellId.zRangesForMbr(b, zRes, maxRanges = 1024)
   }
 
   private val metaDir = Paths.get(root, "meta")
@@ -1267,6 +1273,12 @@ object SnapshotStore {
     * silently drop rows. Refuses to overwrite an existing pin. */
   def pinLegacyLayout(root: String, curve: String, zRes: Int = 12,
                       histRes: Int = 8): Unit = {
+    // validate BEFORE writing: pinning a typo'd curve would brick the
+    // table (every open fails layout validation, and this method refuses
+    // to overwrite) with no API-level recovery path
+    require(curve == "z" || curve == "hilbert" || curve == "str",
+      s"unknown curve '$curve' (expected z | hilbert | str); refusing to " +
+        "pin a layout no reader can open")
     val metaPath = Paths.get(root, "meta", "table.json")
     require(!Files.exists(metaPath),
       s"table at $root already has a pinned layout; refusing to overwrite")

@@ -126,6 +126,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(gotFew == gotFewRef)
     // empty bounds: contains() is total and false
     assert(!graft.functions.ZRangeContains.contains(Array.empty[Long], 7L))
+    // SQL surface: an int-array literal must cast, not throw a raw CCE
+    // (the registered signature advertises array<bigint>)
+    val sqlRow = spark.sql(
+      "SELECT graft_z_in_ranges(5L, array(1, 9)), graft_z_in_ranges(10L, array(1, 9))")
+      .collect().head
+    assert(sqlRow.getBoolean(0) && !sqlRow.getBoolean(1))
+    // equality is value-based over the bounds (identity-equals arrays
+    // would defeat canonicalization reuse — two probes over the same
+    // covering must compare equal)
+    val b1 = Array(1L, 5L, 9L, 12L)
+    val e1 = graft.functions.ZRangeContains(
+      org.apache.spark.sql.catalyst.expressions.Literal(3L), b1)
+    val e2 = graft.functions.ZRangeContains(
+      org.apache.spark.sql.catalyst.expressions.Literal(3L), b1.clone())
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.canonicalized semanticEquals e2.canonicalized)
   }
 
   test("stored box read keeps a pushable coarse disjunction AND the probe in-plan") {

@@ -300,6 +300,12 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("pinLegacyLayout"))
     intercept[IllegalStateException] { new SnapshotStore(spark, root) }
+    // a typo'd curve must be rejected BEFORE it is written: pinning it
+    // would brick the table (every spelling fails validation and the pin
+    // refuses overwrite) with no API recovery path
+    intercept[IllegalArgumentException] {
+      SnapshotStore.pinLegacyLayout(root, "hilbet")
+    }
     // the owner asserts the WRITTEN layout; the table reopens and reads
     SnapshotStore.pinLegacyLayout(root, "hilbert")
     val ok = new SnapshotStore(spark, root, curve = "hilbert")
