@@ -127,11 +127,19 @@ object GeoCols {
     * while the fine ranges (hundreds+) shrink the superset for free.
     * Ranges must be sorted and disjoint ([[CellId.mergeRanges]] output).
     * When the covering already fits under `pushCap` the disjunction IS
-    * exact and the probe is skipped. */
+    * exact and the probe is skipped.
+    *
+    * The probe rides the `graft_z_in_ranges` function registration
+    * (this file otherwise composes built-in expressions only) — resolved
+    * at analysis time against the ACTIVE session, so the over-cap path
+    * installs the graft registry on it here (idempotent; SnapshotStore's
+    * ctor does the same for its own session). */
   def zCoveringPredicate(zc: Column, ranges: Seq[(Long, Long)],
                          pushCap: Int = 16): Column =
     if (ranges.size <= pushCap) zRangePredicate(zc, ranges)
     else {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .foreach(graft.plans.GraftExtensions.install)
       val coarse = CellId.mergeRanges(ranges, maxRanges = pushCap)
       val bounds = ranges.iterator.flatMap(r => Iterator(r._1, r._2)).toArray
       zRangePredicate(zc, coarse) &&

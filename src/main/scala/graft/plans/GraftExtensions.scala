@@ -97,8 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           require(ad != null && !(0 until ad.numElements()).exists(ad.isNullAt),
             "graft_z_in_ranges bounds must be non-null bigint values")
-          graft.functions.ZRangeContains(Cast(args(0), LongType),
-            ad.toLongArray())
+          val bounds = ad.toLongArray()
+          // the binary search is only correct over sorted disjoint pairs
+          // (CellId.mergeRanges output) — reject anything else here or a
+          // SQL caller gets silent false negatives, not an error
+          require(bounds.length % 2 == 0 &&
+            (1 until bounds.length).forall(i => bounds(i - 1) <= bounds(i)) &&
+            (2 until bounds.length by 2).forall(i => bounds(i - 1) < bounds(i)),
+            "graft_z_in_ranges bounds must be ascending disjoint [lo,hi] pairs")
+          graft.functions.ZRangeContains(Cast(args(0), LongType), bounds)
         }),
       // the one other genuinely custom Expression (codegen'd primitive
       // loop — HOF lambdas run interpreted and dominate ANN scans

@@ -86,8 +86,9 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
 
   require(manifestShardRows >= 1, "manifestShardRows must be positive")
 
-  require(curve == "z" || curve == "hilbert" || curve == "str",
-    s"unknown clustering curve '$curve' (want z | hilbert | str)")
+  require(SnapshotStore.ValidCurves(curve),
+    s"unknown clustering curve '$curve' " +
+      s"(want ${SnapshotStore.ValidCurves.mkString(" | ")})")
 
   /** Strip resolution of the STR key (2^(zRes/2) lat strips — the
     * fixed-key stand-in for STR's √(n/fanout) strip count); the fine
@@ -1250,6 +1251,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
 
 object SnapshotStore {
 
+  /** The clustering curves this store can write and read — the ONE list
+    * both the constructor's layout require and [[pinLegacyLayout]]'s
+    * pre-write validation check against (a drift between the two
+    * re-opens the bricked-legacy-table hazard). */
+  val ValidCurves: Set[String] = Set("z", "hilbert", "str")
+
   /** Data entries per manifest shard / the flat-manifest ceiling: at the
     * ~10⁶-file design point this yields ~100 shard files of ~2 MB JSON
     * each behind a ~20 KB root list — a box read parses the root plus the
@@ -1276,9 +1283,9 @@ object SnapshotStore {
     // validate BEFORE writing: pinning a typo'd curve would brick the
     // table (every open fails layout validation, and this method refuses
     // to overwrite) with no API-level recovery path
-    require(curve == "z" || curve == "hilbert" || curve == "str",
-      s"unknown curve '$curve' (expected z | hilbert | str); refusing to " +
-        "pin a layout no reader can open")
+    require(ValidCurves(curve),
+      s"unknown curve '$curve' (expected ${ValidCurves.mkString(" | ")}); " +
+        "refusing to pin a layout no reader can open")
     val metaPath = Paths.get(root, "meta", "table.json")
     require(!Files.exists(metaPath),
       s"table at $root already has a pinned layout; refusing to overwrite")

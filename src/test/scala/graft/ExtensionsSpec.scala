@@ -132,6 +132,12 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT graft_z_in_ranges(5L, array(1, 9)), graft_z_in_ranges(10L, array(1, 9))")
       .collect().head
     assert(sqlRow.getBoolean(0) && !sqlRow.getBoolean(1))
+    // unsorted/overlapping bounds must be a loud error, not a silent
+    // false negative (the binary search assumes sorted disjoint pairs)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_z_in_ranges(5L, array(10L, 20L, 1L, 6L))").collect()
+    }
+    assert(bad.getMessage.contains("ascending disjoint"), bad.getMessage)
     // equality is value-based over the bounds (identity-equals arrays
     // would defeat canonicalization reuse — two probes over the same
     // covering must compare equal)
