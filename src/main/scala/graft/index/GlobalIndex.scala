@@ -27,9 +27,17 @@ final case class GlobalIndex(resolution: Int, parts: Array[PartitionIndex]) {
     * >= k points — one driver-side pass over the broadcastable summary,
     * no Spark job (the distributed analog of the reference's PQ descent,
     * RStarTree.java:450-481). */
+  // live leaf slabs, extracted ONCE: kNN JOINs call knnSeedRadius once
+  // per query, and rebuilding this array per call is O(|Q| * slabs) driver
+  // work at the 10^6-file design point (only the per-query distance keying
+  // and sort genuinely depend on the query point)
+  private lazy val liveSlabs: Array[(MBR, Long)] =
+    parts.iterator.flatMap(_.leaves).filter(_.count > 0)
+      .map(l => (l.mbr, l.count)).toArray
+
   def knnSeedRadius(qLat: Double, qLon: Double, k: Int): Double = {
-    val slabs = parts.iterator.flatMap(_.leaves).filter(_.count > 0)
-      .map(l => (l.mbr.maxDistSq(qLat, qLon), l.count)).toArray.sortBy(_._1)
+    val slabs = liveSlabs.map { case (m, c) => (m.maxDistSq(qLat, qLon), c) }
+      .sortBy(_._1)
     var acc = 0L
     var i = 0
     while (i < slabs.length) {
@@ -160,8 +168,12 @@ object GlobalIndex {
       .orderBy(col("d2"), col("id")).limit(k)
       .select(col("id"), col("lat"), col("lon"), col("d2"))
       .as[(Long, Double, Double, Double)].collect()
-    val sound = topk.length >= k && topk.nonEmpty &&
-      topk.last._4 <= radius * radius
+    // an unbounded radius means `cand` was the FULL table — the collected
+    // top-k is exact even with fewer than k live rows (the audit's
+    // topk.length >= k would otherwise reject an already-exact answer and
+    // pay the full scan a second time)
+    val sound = topk.nonEmpty && (radius == Double.MaxValue ||
+      (topk.length >= k && topk.last._4 <= radius * radius))
     if (sound)
       (topk.zipWithIndex.toSeq
         .map { case ((id, la, lo, d2), i) => ((i + 1).toLong, id, la, lo, d2) }

@@ -131,14 +131,25 @@ object AnnOps {
       case None =>
         hashedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val buckets = hashed.select(col("vec_id"), col("v"), col("nrm"),
+    // candidate generation on NARROW keys only (vec_id, t, bkt): the
+    // 64-dim payload must not ride the ×tables posexplode, the broadcast
+    // bucket join, or the dedup shuffle — it joins back onto the (much
+    // smaller) candidate-pair set, the same shape minhashLsh uses. The
+    // query side is small by contract, so both its key set and its
+    // payload broadcast.
+    val keys = hashed.select(col("vec_id"),
       posexplode(col("bkts")).as(Seq("t", "bkt")))
-    val qb = buckets.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
-        col("t").as("qt"), col("bkt").as("qbkt"))
-    val cand = buckets.join(qb, col("t") === col("qt") && col("bkt") === col("qbkt"))
+    val qk = keys.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("t").as("qt"), col("bkt").as("qbkt"))
+    val candIds = keys.join(broadcast(qk),
+        col("t") === col("qt") && col("bkt") === col("qbkt"))
+      .select(col("qid"), col("vec_id")).dropDuplicates("qid", "vec_id")
+    val qPayload = hashed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("pqid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cand = candIds
+      .join(hashed.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(qPayload), col("qid") === col("pqid"))
       .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
-      .dropDuplicates("qid", "vec_id")
     val sim = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sq").desc, col("vec_id"))
     val out = cand.withColumn("sq", simq(sim))

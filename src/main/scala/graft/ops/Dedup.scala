@@ -136,6 +136,12 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
                  bands: Int = 8, threshold: Double = 0.5,
                  stagePath: Option[String] = None): DataFrame = {
+    // rows-per-band must be a positive exact division: rows=0 makes every
+    // band key the hash of an empty slice (one global bucket = all-pairs
+    // join), and a remainder silently drops signature values from the
+    // banding, weakening recall below the configured (bands, rows) math
+    require(bands >= 1 && numHashes % bands == 0 && numHashes / bands >= 1,
+      s"bands ($bands) must divide numHashes ($numHashes) with >= 1 row per band")
     val rows = numHashes / bands
     // Persist the signature stage: without a materialization barrier the
     // signature kernel would rerun for every band projection and both

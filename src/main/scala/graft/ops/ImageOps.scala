@@ -42,7 +42,9 @@ object ImageOps {
             y += 1
           }
           DecodeStats(id, img.getWidth, img.getHeight, fmt,
-            sum / (img.getWidth * img.getHeight), Codec.pHash64(img), ok = true)
+            // long pixel count: 2^31+ pixel images overflow Int multiply
+            sum / (img.getWidth.toLong * img.getHeight), Codec.pHash64(img),
+            ok = true)
         } catch {
           case _: Throwable => DecodeStats(id, -1, -1, fmt, 0.0, 0L, ok = false)
         }
@@ -372,7 +374,7 @@ object ImageOps {
   case class Resized(image_id: String, bytes: Array[Byte], w: Int, h: Int)
 
   /** Resize to a bounding square, re-encode PNG (lossless so downstream
-    * invariants survive). Nearest-neighbor via AWT scaled instance drawn
+    * invariants survive). Area-averaging via AWT scaled instance drawn
     * onto a fresh raster — headless-safe. */
   def resize(images: DataFrame, maxSide: Int): Dataset[Resized] = {
     import images.sparkSession.implicits._

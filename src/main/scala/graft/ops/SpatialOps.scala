@@ -285,7 +285,7 @@ object SpatialOps {
     polys.map { case (pid, p) =>
       val cover = CellId.coverPoly(p, r) // exact cover: notch cells pruned
       val pruned =
-        if (cover.size <= 4096) cellPts.filter(col("cell").isin(cover: _*))
+        if (cover.size <= MaxCoverCells) cellPts.filter(col("cell").isin(cover: _*))
         else cellPts
       pruned.filter(GeoCols.stContains(p, col("lat"), col("lon")))
         .select(lit(pid).as("poly_id"), col("id"))
@@ -385,7 +385,7 @@ object SpatialOps {
     polys.map { case (pid, p) =>
       val cover = CellId.coverPoly(p, r)
       val pruned =
-        if (cover.size <= 4096) cellPts.filter(col("cell").isin(cover: _*))
+        if (cover.size <= MaxCoverCells) cellPts.filter(col("cell").isin(cover: _*))
         else cellPts
       pruned.filter(GeoCols.stContains(p, col("lat"), col("lon")))
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"),
@@ -619,7 +619,9 @@ object SpatialOps {
                    broadcastProbes: Boolean = true): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    // coarsest r whose cell step still covers eps in one ring
+    // FINEST r whose cell step still covers eps in one ring (the
+    // descending scan returns the largest qualifying r): maximum pruning
+    // while the 3x3 neighborhood still guarantees every eps-pair
     val r =
       if (rOverride >= 0) rOverride
       else (CellId.MaxRes to 0 by -1).find(rr =>
