@@ -143,10 +143,9 @@ object Bench {
     // 3e8 rows: a fresh JVM needs multi-second passes or the first-pass
     // JIT tax leaks into the median (1e8 at 32 threads is ~1 s/pass)
     val (sRows, sRps) = {
-      val v = childLeg("graft.bench.ScalingBench", cpus.toInt, Map(
-        "SPARK_GRAFT_SCALE_ROWS" -> "300000000",
-        "SPARK_GRAFT_SCALE_ITERS" -> "3"))
-      if (v > 0) (300000000L, v) else (0L, -1.0)
+      val headlineRows = 300000000L
+      val v = scalingLeg(cpus.toInt, headlineRows)
+      if (v > 0) (headlineRows, v) else (0L, -1.0)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Double = {
@@ -355,9 +354,19 @@ object Bench {
         val b = scalingLeg(16, scRows); val sb = lastSteal
         lastPairS = math.max(lastPairS, (System.nanoTime() - t0) / 1e9)
         val p = (a, b)
-        if (!clean(p) && p._1 > 0 && p._2 > 0 && retriesLeft > 0 && fits()) {
+        if (!clean(p) && retriesLeft > 0 && fits()) {
+          // degenerate AND crashed (-1 leg) pairs both retry — a crashed
+          // child consuming a slot unretried would shrink the published
+          // sample with truncated:false
           rejected += ((a, b, math.max(sa, sb))); cleanPair(retriesLeft - 1)
-        } else { steals += math.max(sa, sb); Some(p) }
+        } else if (p._1 > 0 && p._2 > 0) {
+          steals += math.max(sa, sb); Some(p)
+        } else {
+          // child crashed and retries/budget exhausted: publish the reject
+          // and give the slot up — the pairs-run shortfall flips
+          // scaling_truncated so the artifact can't pass as a full sample
+          rejected += ((a, b, math.max(sa, sb))); None
+        }
       }
     val pairsRun =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) Seq.empty

@@ -401,7 +401,14 @@ object SparkEntry {
         ls.iterator().asScala.toSeq
       } finally ls.close()
       tops.foreach { p =>
-        if (p.getFileName.toString.startsWith("graft_q") &&
+        val name = p.getFileName.toString
+        // pid-scoped dirs (graft_qstage_<pid>) of a LIVE process are
+        // skipped regardless of mtime — a paused/long run's staged tables
+        // must survive until its oracle compare has read them
+        val ownerAlive = "_([0-9]+)$".r.findFirstMatchIn(name)
+          .exists(m => ProcessHandle.of(m.group(1).toLong)
+            .map[Boolean](_.isAlive).orElse(false))
+        if (name.startsWith("graft_q") && !ownerAlive &&
             java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
           graft.ops.OpUtil.deleteTree(p)
       }

@@ -32,9 +32,12 @@ object Synth {
     base + (1 to extra).map(i => s" tag${(h >>> (i * 8)) & 15}").mkString
   }
 
-  /** Generate row i. `hotspotFrac > 0` plants near-identical rasters (tiny
-    * pixel perturbations that survive average-hash) so a fraction of rows
-    * share one phash → one hot cell: the skew/salting stress variant. */
+  /** Generate row i. `hotspotFrac > 0` plants near-identical rasters: hot
+    * rows share ONE 64×64 source raster, and the format split below (every
+    * 4th row JPEG, the rest PNG) makes the JPEG rows' decoded pixels
+    * lossy-perturbed copies of the PNG rows' — perturbations that survive
+    * average-hash, so all hot rows share one phash → one hot cell: the
+    * skew/salting stress variant. */
   def row(seed: Long, i: Long, hotspotFrac: Double = 0.0): ImageRow = {
     val h0 = Codec.mix(seed ^ i)
     val imageId = f"img$i%012d"

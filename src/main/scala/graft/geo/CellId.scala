@@ -187,9 +187,20 @@ object CellId {
       }
     }
     if (y1 >= y0 && x1 >= x0) rec(0, 0, 0)
+    coalesceToBudget(out, maxRanges)
+  }
+
+  /** Coalesce a sorted disjoint covering across its SMALLEST gaps until at
+    * most `maxRanges` ranges remain. The result spans the input, so it
+    * stays a valid pruning predicate (a superset — exact refine always
+    * follows). The ONE budget implementation behind both quadtree curve
+    * coverings and [[mergeRanges]]: a drift between per-curve copies would
+    * silently diverge their covering semantics. */
+  private def coalesceToBudget(
+      out: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+      maxRanges: Int): Seq[(Long, Long)] =
     if (out.size <= maxRanges) out.toSeq
     else {
-      // coalesce across the smallest gaps until under budget
       val gaps = out.sliding(2).map(p => p(1)._1 - p(0)._2).toArray.sorted
       val cut = gaps(out.size - maxRanges - 1)
       val merged = scala.collection.mutable.ArrayBuffer(out.head)
@@ -202,7 +213,6 @@ object CellId {
       }
       merged.toSeq
     }
-  }
 
   /** Z ranges covering the cells intersecting a lat/lon box. */
   def zRangesForMbr(b: MBR, r: Int, maxRanges: Int = 512): Seq[(Long, Long)] =
@@ -228,20 +238,7 @@ object CellId {
         out(out.length - 1) = (llo, math.max(lhi, nxt._2))
       else out += nxt
     }
-    if (out.size <= maxRanges) out.toSeq
-    else {
-      val gaps = out.sliding(2).map(p => p(1)._1 - p(0)._2).toArray.sorted
-      val cut = gaps(out.size - maxRanges - 1)
-      val merged = scala.collection.mutable.ArrayBuffer(out.head)
-      var budgetLeft = out.size - maxRanges
-      out.drop(1).foreach { nxt =>
-        val gap = nxt._1 - merged.last._2
-        if (gap <= cut && budgetLeft > 0) {
-          merged(merged.length - 1) = (merged.last._1, nxt._2); budgetLeft -= 1
-        } else merged += nxt
-      }
-      merged.toSeq
-    }
+    coalesceToBudget(out, maxRanges)
   }
 
   // ---- Hilbert curve — alternative clustering key ----
@@ -327,20 +324,7 @@ object CellId {
       }
     }
     if (y1 >= y0 && x1 >= x0) rec(0, 0, 0, 0L, sw = false, cx = false, cy = false)
-    if (out.size <= maxRanges) out.toSeq
-    else {
-      val gaps = out.sliding(2).map(p => p(1)._1 - p(0)._2).toArray.sorted
-      val cut = gaps(out.size - maxRanges - 1)
-      val merged = scala.collection.mutable.ArrayBuffer(out.head)
-      var budgetLeft = out.size - maxRanges
-      out.drop(1).foreach { nxt =>
-        val gap = nxt._1 - merged.last._2
-        if (gap <= cut && budgetLeft > 0) {
-          merged(merged.length - 1) = (merged.last._1, nxt._2); budgetLeft -= 1
-        } else merged += nxt
-      }
-      merged.toSeq
-    }
+    coalesceToBudget(out, maxRanges)
   }
 
   /** Hilbert ranges covering the cells intersecting a lat/lon box. */

@@ -33,25 +33,40 @@ object StreamIngest {
     * collide with an OLD committed unit and silently drop new data. The
     * token ties lineage ids to the offsets they are idempotent against. */
   private def streamToken(checkpoint: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(checkpoint)
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    // the token must live WITH the checkpoint it scopes: a non-local
+    // checkpoint URI (hdfs://, s3a://) would silently resolve to a local
+    // directory here, and a restart on another host would mint a fresh
+    // token — re-delivered batches would re-append (duplicate rows).
+    // Fail fast instead; remote-checkpoint deployments route the token
+    // through the same catalog seam as multi-writer commits (SURVEY §7.4).
+    val scheme = try new java.net.URI(checkpoint).getScheme catch {
+      case _: java.net.URISyntaxException => null
+    }
+    require(scheme == null || scheme == "file",
+      s"streamToken requires a local checkpoint path, got '$checkpoint' — " +
+        "remote checkpoints need the token in the checkpoint's own " +
+        "filesystem (catalog seam), not the driver's local disk")
+    val dir = Paths.get(
+      if (scheme == "file") new java.net.URI(checkpoint).getPath else checkpoint)
     Files.createDirectories(dir)
     val f = dir.resolve("graft-stream-id")
     if (!Files.exists(f)) {
-      // write-temp + ATOMIC_MOVE: a crash mid-write must never leave an
-      // EMPTY token behind (an empty token would make every future stream
-      // share the id "" and resurrect the lineage-collision bug); a
-      // concurrent starter losing the move just reads the winner's token
+      // CREATE_NEW (O_EXCL): exactly one concurrent starter can create the
+      // file — the loser reads the winner's token. (An ATOMIC_MOVE here
+      // maps to rename(2), which silently REPLACES an existing target on
+      // POSIX: the loser would overwrite the winner's token and orphan the
+      // winner's already-committed lineage ids.) The token is one small
+      // write; a reader racing the winner polls past any empty window.
       val id = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = dir.resolve(s"graft-stream-id.tmp.$id")
-      Files.writeString(tmp, id)
-      try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-      }
+      try Files.writeString(f, id, StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
-    val t = Files.readString(f).trim
+    var t = Files.readString(f).trim
+    var waitMs = 0
+    while (t.isEmpty && waitMs < 2000) { // racing the winner's write
+      Thread.sleep(20); waitMs += 20; t = Files.readString(f).trim
+    }
     require(t.nonEmpty,
       s"corrupt stream id at $f — delete the file to issue a fresh one")
     t
