@@ -390,8 +390,25 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val wallMs = (System.nanoTime() - t0) / 1000000
     val entries = footerStats(unitDir, lineageId, wallMs, withZ = true)
     writeSidecars(unitDir, lineageId, entries, keyed.schema)
-    commit(entries)
+    commitAppend(entries)
   }
+
+  /** Appends COMMUTE: the unit's data files and sidecars are already on
+    * disk under unique names and the manifest merge is purely additive, so
+    * a commit that loses the optimistic-concurrency race rebases onto the
+    * winner's manifest and retries with nothing rewritten — Iceberg's
+    * fast-append retry, bounded. Replacing/delete commits never come
+    * through here: a compaction PLANS against a pinned parent (rebasing
+    * would silently drop the racer's unit from the replacing manifest),
+    * and a tombstone rebased past a racer's data would widen its sequence
+    * scope onto rows it never saw — both still fail loudly for the caller
+    * to re-plan. */
+  private def commitAppend(entries: Seq[FileEntry], retries: Int = 5): Long =
+    try commit(entries)
+    catch {
+      case _: java.util.ConcurrentModificationException if retries > 0 =>
+        commitAppend(entries, retries - 1)
+    }
 
   /** ONE stats pass over the unit just written → three driver-written JSON
     * sidecars (hist / bloom / index), via [[UnitStatsAgg]] grouped by file:
@@ -587,10 +604,18 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * interleaved units from a replacing manifest while their lineage ids
     * stay marked committed (permanent, re-delivery-proof data loss under
     * streaming ingestion) — so it fails loudly instead. */
+  /** Test seam, production no-op: runs in EVERY commit right after the
+    * parent snapshot is captured — the exact window a racing committer
+    * can win in. The fast-append race spec plants a racer here to prove
+    * [[commitAppend]]'s rebase-retry deterministically (a thread-timing
+    * race only exercises it probabilistically). */
+  private[graft] var afterParentCapture: () => Unit = () => ()
+
   private def commit(newEntries: Seq[FileEntry],
                      replaceParent: Boolean = false,
                      expectedParent: Long = -1L): Long = {
     val parent = if (expectedParent >= 0) expectedParent else currentSnapshotId
+    afterParentCapture()
     def assertUnmoved(): Unit =
       if (currentSnapshotId != parent)
         throw new java.util.ConcurrentModificationException(

@@ -765,6 +765,41 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.committedLineage.contains("racer"))
   }
 
+  test("fast-append retry: a losing append rebases onto the racer's commit") {
+    val st = new SnapshotStore(spark, tmp())
+    st.append(pts.limit(100), "u-base", numPartitions = 1)
+    // the racer lands in the exact window between the loser's parent
+    // capture and its tripwire write (afterParentCapture seam) — the
+    // loser's data files and sidecars are already on disk, so the commit
+    // rebases onto snap-2 and retries instead of surfacing the CME
+    var fires = 0
+    st.afterParentCapture = () => {
+      fires += 1
+      if (fires == 1) { st.append(pts.limit(40), "u-racer", numPartitions = 1); () }
+    }
+    val snap = st.append(pts.limit(30), "u-slow", numPartitions = 1)
+    // fires: loser attempt 1 (plants racer) + racer's own commit + loser retry
+    assert(fires == 3, s"retry never re-entered commit (fires=$fires)")
+    assert(snap == 3L && st.currentSnapshotId == 3L)
+    assert(st.committedLineage == Set("u-base", "u-racer", "u-slow"))
+    assert(st.read()._1.count() == 170)
+  }
+
+  test("fast-append retry is bounded: a perpetually advancing pointer fails loudly") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root)
+    st.append(pts.limit(10), "u-0", numPartitions = 1)
+    val ptr = java.nio.file.Paths.get(root, "meta", "current")
+    // every attempt loses: the pointer advances inside its race window
+    st.afterParentCapture = () => {
+      val cur = Files.readString(ptr).trim.toLong
+      Files.writeString(ptr, (cur + 1).toString); ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      st.append(pts.limit(10), "u-1", numPartitions = 1)
+    }
+  }
+
   test("time travel (readAt) and incremental consumption (appendedSince)") {
     import spark.implicits._
     val st = new SnapshotStore(spark, tmp())
