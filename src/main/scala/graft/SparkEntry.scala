@@ -186,6 +186,10 @@ object SparkEntry {
     "q26b_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), stagePath = Some(Q26bStagePath))),
     "q27_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    // fingerprint table staged so the equal-fingerprint candidate-pair
+    // dataflow (the winnowing-dedup use of q27's kernel) is oracle-checked
+    "q27b_fingerprint_pairs" -> ((s, dir) =>
+      TextOps.fingerprintPairs(docs(s, dir), stagePath = Some(Q27bStagePath))),
     // benchmark decontamination + intra-doc repetition (Gopher-style
     // quality rule) — both fully oracle-checked
     "q49_contamination" -> ((s, dir) => TextOps.contamination(docs(s, dir))),
@@ -426,6 +430,7 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_qstage_${ProcessHandle.current().pid()}"
   val Q25StagePath = s"$stageRoot/q25_sig"
   val Q26bStagePath = s"$stageRoot/q26b_sig"
+  val Q27bStagePath = s"$stageRoot/q27b_fp"
   val Q28cStagePath = s"$stageRoot/q28c_sig"
   val Q28bVecPath = s"$stageRoot/q28b_vec"
   val Q28bCentPath = s"$stageRoot/q28b_cent"
@@ -497,6 +502,8 @@ object SparkEntry {
       Fixtures.annQueryIds, Fixtures.annK, tables = 8),
     "q26b_simhash_pairs" -> OracleSql.hammingPairsStaged(Q26bStagePath,
       "doc_id", "simhash", 3),
+    "q27b_fingerprint_pairs" -> OracleSql.equalKeyPairsStaged(Q27bStagePath,
+      "doc_id", "fingerprint"),
     "q43_image_neardup" -> OracleSql.hammingPairsStaged(Q43StagePath,
       "image_id", "phash", 3),
     "q46_curate" -> OracleSql.curateStaged(Q46StagePath,

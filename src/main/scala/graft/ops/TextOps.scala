@@ -163,4 +163,30 @@ object TextOps {
       })
       .toDF("doc_id", "fingerprint")
   }
+
+  /** Equal-fingerprint near-dup candidate PAIRS — the dataflow the per-doc
+    * min-k-gram fingerprint exists for (winnowing-style dedup): documents
+    * whose minimizing k-gram hash collides are near-dup candidates. The
+    * fingerprint table self-joins on the 64-bit fingerprint — one compact
+    * equi-join key, never all-pairs; group sizes are dup-cluster sizes, so
+    * the join output is O(dup pairs), not O(n²). With `stagePath` the
+    * fingerprint table is checkpointed to parquet and the DuckDB oracle
+    * re-derives the SAME pairs from the staged bits (q27b) — the
+    * rolling-hash kernel itself stays rows-only by nature (q27). */
+  def fingerprintPairs(docs: DataFrame, k: Int = 5,
+                       stagePath: Option[String] = None): DataFrame = {
+    val fpRaw = fingerprint(docs, k)
+    val fp = stagePath match {
+      case Some(p) =>
+        fpRaw.write.mode("overwrite").parquet(p)
+        docs.sparkSession.read.parquet(p)
+      case None =>
+        fpRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val out = fp.select(col("fingerprint"), col("doc_id").as("a_id"))
+      .join(fp.select(col("fingerprint").as("fp_b"), col("doc_id").as("b_id")),
+        col("fingerprint") === col("fp_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    if (stagePath.isDefined) out else OpUtil.finish(out, fp)
+  }
 }

@@ -439,6 +439,15 @@ object OracleSql {
        |SELECT DISTINCT a_id, b_id, hamming FROM cand WHERE hamming <= $maxHamming""".stripMargin
   }
 
+  /** Equal-key pairs over a STAGED (id, key) table — q27b: the
+    * fingerprint near-dup candidate dataflow re-derived by DuckDB from
+    * the staged bits ([[graft.ops.TextOps.fingerprintPairs]]). */
+  def equalKeyPairsStaged(stagePath: String, idCol: String,
+                          keyCol: String): String =
+    s"""WITH f AS (SELECT $idCol AS id, $keyCol AS kk FROM read_parquet('$stagePath/*.parquet'))
+       |SELECT a.id AS a_id, b.id AS b_id
+       |FROM f a JOIN f b ON a.kk = b.kk AND a.id < b.id""".stripMargin
+
   /** IVF routing + list search + rank over STAGED tables
     * ([[graft.ops.AnnOps.annIvf]]/annIvfKmeans with stagePaths): vectors
     * with their list assignment and the Spark-computed centroids are both

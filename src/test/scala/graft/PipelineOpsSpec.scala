@@ -205,6 +205,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(reparted == exp)
   }
 
+  test("fingerprintPairs == in-memory equal-fingerprint pairs; planted exact dups recalled") {
+    val fp = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < 5) None
+        else Some(id -> toks.sliding(5).map(w => Dedup.hash64(w.mkString(" "))).min)
+      }
+    val exp = (for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b && ha == hb
+    } yield (a, b)).sorted.toSeq
+    val got = TextOps.fingerprintPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == exp)
+    // identical text ⇒ identical min-shingle fingerprint: a planted exact
+    // dup must be recalled (sf0.001 plants near-dups only, so plant our own)
+    import spark.implicits._
+    val src = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val donor = src.find(_._2.split(" ", -1).length >= 5).get
+    val dupId = src.map(_._1).max + 1
+    val withDup = (src :+ ((dupId, donor._2))).toSeq.toDF("doc_id", "text")
+    val planted = TextOps.fingerprintPairs(withDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.contains((donor._1, dupId)),
+      s"planted exact dup (${donor._1},$dupId) not recalled")
+  }
+
   test("cosineTopK matches in-memory brute force (quantized)") {
     val vecs = emb.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
