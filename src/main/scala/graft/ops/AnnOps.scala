@@ -124,13 +124,7 @@ object AnnOps {
     // join + exact re-rank downstream runs over externally readable bits —
     // the q28c driver check oracle-verifies that dataflow in DuckDB (the
     // hyperplane kernel itself is rows-only by nature)
-    val hashed = stagePath match {
-      case Some(p) =>
-        hashedRaw.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p)
-      case None =>
-        hashedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val hashed = OpUtil.stageOrPersist(hashedRaw, stagePath)
     // candidate generation on NARROW keys only (vec_id, t, bkt): the
     // 64-dim payload must not ride the ×tables posexplode, the broadcast
     // bucket join, or the dedup shuffle — it joins back onto the (much

@@ -150,13 +150,7 @@ object Dedup {
     // 5k docs). At warehouse scale this stage is a checkpoint into the
     // snapshot store; here MEMORY_AND_DISK is the same barrier.
     val sigs = withSignatures(docs, k, numHashes)
-    val base = stagePath match {
-      case Some(p) =>
-        sigs.write.mode("overwrite").parquet(p)
-        docs.sparkSession.read.parquet(p)
-      case None =>
-        sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val base = OpUtil.stageOrPersist(sigs, stagePath)
     val banded = base.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
@@ -341,13 +335,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
                    stagePath: Option[String] = None): DataFrame = {
     val shRaw = simhash(docs)
-    val sh = stagePath match {
-      case Some(p) =>
-        shRaw.write.mode("overwrite").parquet(p)
-        docs.sparkSession.read.parquet(p)
-      case None =>
-        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val sh = OpUtil.stageOrPersist(shRaw, stagePath)
     val out = hammingBlockPairs(sh, "doc_id", "simhash", maxHamming, blocks)
     if (stagePath.isDefined) out else OpUtil.finish(out, sh)
   }

@@ -135,13 +135,7 @@ object ImageOps {
     // anti-join, AND the window — without a barrier the (possibly decode-
     // heavy) upstream recomputes ~3x (the documented CollapseProject
     // pitfall); the staged path's parquet write is the same barrier
-    val meta = stagePath match {
-      case Some(p) =>
-        meta0.write.mode("overwrite").parquet(p)
-        images.sparkSession.read.parquet(p)
-      case None =>
-        meta0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val meta = OpUtil.stageOrPersist(meta0, stagePath)
     val q = meta.filter(size(split(col("caption"), " ")) >= minTokens)
     val dups = Dedup.hammingBlockPairs(q, "image_id", "phash", maxHamming, blocks)
       .select(col("b_id").as("image_id")).distinct()

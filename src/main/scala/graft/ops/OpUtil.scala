@@ -21,6 +21,23 @@ private[graft] object OpUtil {
     out
   }
 
+  /** Stage-or-persist barrier behind every staged-oracle operator: with a
+    * `stagePath` the intermediate is checkpointed to parquet and read back
+    * (the generated DuckDB oracle reads the SAME bits); without one it is
+    * persisted MEMORY_AND_DISK — the CollapseProject recompute barrier
+    * either way. The one copy of an idiom that was hand-rolled across five
+    * call sites (minhash/simhash/LSH signatures, curation metadata,
+    * fingerprints) and would have drifted. */
+  private[graft] def stageOrPersist(df: DataFrame,
+                                    stagePath: Option[String]): DataFrame =
+    stagePath match {
+      case Some(p) =>
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Best-effort recursive delete of a temp tree, with the walk stream
     * CLOSED (Files.walk leaks a directory fd until GC otherwise). The
     * one copy of an idiom that had drifted across three call sites

@@ -176,13 +176,7 @@ object TextOps {
   def fingerprintPairs(docs: DataFrame, k: Int = 5,
                        stagePath: Option[String] = None): DataFrame = {
     val fpRaw = fingerprint(docs, k)
-    val fp = stagePath match {
-      case Some(p) =>
-        fpRaw.write.mode("overwrite").parquet(p)
-        docs.sparkSession.read.parquet(p)
-      case None =>
-        fpRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val fp = OpUtil.stageOrPersist(fpRaw, stagePath)
     val out = fp.select(col("fingerprint"), col("doc_id").as("a_id"))
       .join(fp.select(col("fingerprint").as("fp_b"), col("doc_id").as("b_id")),
         col("fingerprint") === col("fp_b") && col("a_id") < col("b_id"))

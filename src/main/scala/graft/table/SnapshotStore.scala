@@ -403,12 +403,25 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * and a tombstone rebased past a racer's data would widen its sequence
     * scope onto rows it never saw — both still fail loudly for the caller
     * to re-plan. */
-  private def commitAppend(entries: Seq[FileEntry], retries: Int = 5): Long =
+  private def commitAppend(entries: Seq[FileEntry], retries: Int = 5): Long = {
+    val seen = currentSnapshotId
     try commit(entries)
     catch {
       case _: java.util.ConcurrentModificationException if retries > 0 =>
+        // wait for the winner's pointer swing before consuming a retry: a
+        // losing attempt fails while the winner is still mid-commit (its
+        // snap-N exists, pointer not yet swung), so an immediate re-entry
+        // would recompute the same `next`, hit the same tripwire, and burn
+        // every attempt inside the winner's commit tail. Bounded: a winner
+        // that CRASHED mid-commit never swings the pointer — its stale
+        // snap-N is reclaimed by the next commit's age-gated sweep, not by
+        // spinning here.
+        val deadline = System.currentTimeMillis() + 2000
+        while (currentSnapshotId == seen &&
+               System.currentTimeMillis() < deadline) Thread.sleep(10)
         commitAppend(entries, retries - 1)
     }
+  }
 
   /** ONE stats pass over the unit just written → three driver-written JSON
     * sidecars (hist / bloom / index), via [[UnitStatsAgg]] grouped by file:
@@ -587,6 +600,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
           cs.flatMap(CellId.children(_, rr)) }).toSet
   }
 
+  /** Test seam, production no-op: runs in EVERY commit right after the
+    * parent snapshot is captured — the exact window a racing committer
+    * can win in. The fast-append race spec plants a racer here to prove
+    * [[commitAppend]]'s rebase-retry deterministically (a thread-timing
+    * race only exercises it probabilistically). */
+  private[graft] var afterParentCapture: () => Unit = () => ()
+
   /** Manifest-append commit: parent entries + new entries → snap-(n+1),
     * atomic pointer swing. Single-writer (the driver) — matching the
     * reference's single-threaded writer; multi-writer needs a CAS on
@@ -604,13 +624,6 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * interleaved units from a replacing manifest while their lineage ids
     * stay marked committed (permanent, re-delivery-proof data loss under
     * streaming ingestion) — so it fails loudly instead. */
-  /** Test seam, production no-op: runs in EVERY commit right after the
-    * parent snapshot is captured — the exact window a racing committer
-    * can win in. The fast-append race spec plants a racer here to prove
-    * [[commitAppend]]'s rebase-retry deterministically (a thread-timing
-    * race only exercises it probabilistically). */
-  private[graft] var afterParentCapture: () => Unit = () => ()
-
   private def commit(newEntries: Seq[FileEntry],
                      replaceParent: Boolean = false,
                      expectedParent: Long = -1L): Long = {
