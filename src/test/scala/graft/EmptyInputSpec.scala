@@ -71,6 +71,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.tokenCount(noDocs).count() == 0)
     assert(TextOps.quality(noDocs).count() == 0)
     assert(TextOps.fingerprint(noDocs).count() == 0)
+    assert(TextOps.fingerprintPairs(noDocs).count() == 0)
   }
 
   test("ANN operators on an empty embeddings table") {
