@@ -129,21 +129,22 @@ object GeoCols {
     * When the covering already fits under `pushCap` the disjunction IS
     * exact and the probe is skipped.
     *
-    * The probe rides the `graft_z_in_ranges` function registration
-    * (this file otherwise composes built-in expressions only) — resolved
-    * at analysis time against the ACTIVE session, so the over-cap path
-    * installs the graft registry on it here (idempotent; SnapshotStore's
-    * ctor does the same for its own session). */
+    * The probe column is built DIRECTLY from the
+    * [[graft.functions.ZRangeContains]] expression — not through the
+    * `graft_z_in_ranges` SQL registration, which resolves at analysis
+    * time against the DataFrame's session and would make this public API
+    * fail on any session without [[graft.plans.GraftExtensions]]
+    * installed (the registration stays, for SQL-text users). */
   def zCoveringPredicate(zc: Column, ranges: Seq[(Long, Long)],
                          pushCap: Int = 16): Column =
     if (ranges.size <= pushCap) zRangePredicate(zc, ranges)
     else {
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .foreach(graft.plans.GraftExtensions.install)
       val coarse = CellId.mergeRanges(ranges, maxRanges = pushCap)
       val bounds = ranges.iterator.flatMap(r => Iterator(r._1, r._2)).toArray
+      import org.apache.spark.sql.GraftColumnBridge
       zRangePredicate(zc, coarse) &&
-        call_function("graft_z_in_ranges", zc, lit(bounds))
+        GraftColumnBridge.column(graft.functions.ZRangeContains(
+          GraftColumnBridge.expression(zc), bounds))
     }
 
   /** Covering-region prune as a rectangle in grid coordinates: four

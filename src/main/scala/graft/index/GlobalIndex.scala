@@ -42,7 +42,13 @@ final case class GlobalIndex(resolution: Int, parts: Array[PartitionIndex]) {
     var i = 0
     while (i < slabs.length) {
       acc += slabs(i)._2
-      if (acc >= k) return math.sqrt(slabs(i)._1)
+      // nextUp: sqrt rounds to NEAREST, so an unpadded radius can sit half
+      // an ulp BELOW the true bound — a point exactly at the slab's
+      // maxDistSq then falls outside the ball box (missed candidate) and
+      // rad*rad undershoots its d2 (measured: dk 39.21061000000006 vs rad²
+      // 39.21060992…, a spurious audit fallback that read every file). One
+      // ulp up guarantees rad ≥ √bound; the bound only widens, never wrong.
+      if (acc >= k) return math.nextUp(math.sqrt(slabs(i)._1))
       i += 1
     }
     Double.MaxValue // fewer than k points exist: caller scans everything
@@ -258,11 +264,18 @@ object GlobalIndex {
     }.toSet
     val exactPart = pruned.filter(!col("q_id").isin(bad.toSeq: _*))
       .select(col("q_id"), col("rank"), col("id"))
-    val out =
-      if (bad.isEmpty) exactPart
-      else exactPart.unionAll(graft.ops.SpatialOps.knnJoinAgg(
-        store.read()._1, queries.filter(qq => bad.contains(qq._1)), k))
-    (graft.ops.OpUtil.finish(out, pruned), kept, total)
+    // on fallback the reported counts must describe the EXECUTED plan, not
+    // the pruned read the audit abandoned (knnStoredPruned's contract): a
+    // prune assert against a tombstone-degraded store would otherwise pass
+    // while the query scanned every file
+    val (out, keptOut, totalOut) =
+      if (bad.isEmpty) (exactPart, kept, total)
+      else {
+        val (full, fKept, fTotal) = store.read()
+        (exactPart.unionAll(graft.ops.SpatialOps.knnJoinAgg(
+          full, queries.filter(qq => bad.contains(qq._1)), k)), fKept, fTotal)
+      }
+    (graft.ops.OpUtil.finish(out, pruned), keptOut, totalOut)
   }
 
   /** Index-seeded exact kNN: one driver-side bound from the summary, ONE

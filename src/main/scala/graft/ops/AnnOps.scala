@@ -19,21 +19,26 @@ object AnnOps {
   // whose lambda would run interpreted per element
   private def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Codegen'd dot product ([[graft.functions.VecDot]] via the graft_dot
-    * registration): ascending-index left-fold sum, bit-identical to the
-    * interpreted HOF formulation and to the DuckDB oracle, ~100× cheaper
-    * per row on 64-dim vectors. */
-  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  /** Codegen'd dot product ([[graft.functions.VecDot]], constructed
+    * directly — the `graft_dot` SQL registration resolves against the
+    * DataFrame's session and would make this API fail on sessions without
+    * GraftExtensions installed): ascending-index left-fold sum,
+    * bit-identical to the interpreted HOF formulation and to the DuckDB
+    * oracle, ~100× cheaper per row on 64-dim vectors. */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.VecDot(
+      GraftColumnBridge.expression(toDouble(a)),
+      GraftColumnBridge.expression(toDouble(b))))
+  }
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
   def simq(sim: Column): Column = floor(sim * lit(1000000)).cast("long")
 
-  private def withNorm(emb: DataFrame): DataFrame = {
-    graft.plans.GraftExtensions.install(emb.sparkSession) // idempotent
+  private def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
       .withColumn("nrm", norm(col("v")))
-  }
 
   /** Brute-force cosine top-k (the correctness baseline): broadcast the
     * query vectors, one map-side pass over all embeddings, per-query top-k.

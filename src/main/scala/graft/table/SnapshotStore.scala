@@ -279,7 +279,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * the shard rows without reading them) so pruning stays observable. */
   private[graft] def manifestPartial(snapshotId: Long,
                                      boxes: Option[Seq[MBR]],
-                                     lineageHint: Option[String => Boolean] = None)
+                                     lineageHint: Option[String => Boolean] = None,
+                                     rangesHint: Option[Seq[(Long, Long)]] = None)
       : (Seq[FileEntry], Int) = {
     def dataCount(es: Seq[FileEntry]): Int =
       es.count(e => e.kind == "data" && e.path.nonEmpty)
@@ -293,12 +294,21 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         val (shards, inline) = MetaJson.parseManifestRoot(Files.readString(p))
         if (shards.isEmpty) (inline, dataCount(inline))
         else {
-          // both prunes are fail-open: a shard with unknown bounds or an
-          // unknown lineage summary always loads — a pruner may only skip
-          // what it can PROVE irrelevant
+          // all three prunes are fail-open: a shard with unknown bounds or
+          // an unknown lineage summary always loads — a pruner may only
+          // skip what it can PROVE irrelevant. The curve-range test rides
+          // the query's own merged covering (rangesHint — shards are
+          // chunked by minZ, so their [minZ, maxZ] intervals partition the
+          // key axis after compaction): a shard whose interval meets no
+          // covering range holds no row of any query box, even when its
+          // lat/lon union still overlaps one (per-append shards span wide
+          // boxes). Sound because shards carry ONLY data entries —
+          // tombstones and markers stay inline in the root.
           val wanted = shards.filter { sm =>
             boxes.forall(bs => bs.exists(b =>
               MBR(sm.minLat, sm.minLon, sm.maxLat, sm.maxLon).overlaps(b))) &&
+            rangesHint.forall(_.exists(r =>
+              r._1 <= sm.maxZ && sm.minZ <= r._2)) &&
             lineageHint.forall(want => sm.lineages.forall(_.exists(want)))
           }
           val loaded = inline ++ wanted.flatMap(sm =>
@@ -782,6 +792,22 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     }
   }
 
+  /** snap-<digits> root-name classifier shared by EVERY reclamation path
+    * (the commit-time sweeper, the reference-set scanner, vacuum): the
+    * rules for "what is a root" and "what is a shard" must have exactly
+    * one spelling, or a future widening applied to one copy would make the
+    * sweeper and the reference scanner disagree — the live-shard-deletion
+    * hazard these functions guard against. Guarded parse: debris like
+    * "snap-" or an overlong id yields None, never an exception. */
+  private def snapRootId(name: String): Option[Long] = {
+    val digits = name.drop(5)
+    if (name.startsWith("snap-") && digits.nonEmpty && digits.length <= 18 &&
+        digits.forall(_.isDigit)) Some(digits.toLong) else None
+  }
+
+  /** Shard-file name twin of [[snapRootId]] — one compiled copy. */
+  private val shardNameRe = "^snap-([0-9]{1,18})-shard-.*\\.json$".r
+
   /** Shard paths referenced by every existing snapshot root except
     * `excludeIds`. Under shard reuse a shard written at snap-k is
     * referenced by k and every descendant until a replacing commit —
@@ -795,16 +821,14 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   private def referencedShardPaths(excludeIds: Set[Long]): Option[Set[String]] = {
     val acc = Set.newBuilder[String]
     val allReadable = listDir(metaDir).forall { p =>
-      val name = p.getFileName.toString
-      val digits = name.drop(5)
-      if (name.startsWith("snap-") && digits.nonEmpty && digits.length <= 18 &&
-          digits.forall(_.isDigit) && !excludeIds.contains(digits.toLong) &&
-          Files.isRegularFile(p))
-        try {
-          acc ++= MetaJson.parseManifestRoot(Files.readString(p))._1.map(_.path)
-          true
-        } catch { case _: Throwable => false }
-      else true
+      snapRootId(p.getFileName.toString) match {
+        case Some(id) if !excludeIds.contains(id) && Files.isRegularFile(p) =>
+          try {
+            acc ++= MetaJson.parseManifestRoot(Files.readString(p))._1.map(_.path)
+            true
+          } catch { case _: Throwable => false }
+        case _ => true
+      }
     }
     if (allReadable) Some(acc.result()) else None
   }
@@ -870,16 +894,11 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     def stale(p: java.nio.file.Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: Throwable => false }
-    val shardRe = "^snap-([0-9]{1,18})-shard-.*\\.json$".r
     listDir(metaDir).foreach { p =>
       val name = p.getFileName.toString
-      val digits = name.drop(5)
       val orphan =
         name.startsWith("current.tmp.") ||
-          (name.startsWith("snap-") && digits.nonEmpty &&
-            digits.length <= 18 && digits.forall(_.isDigit) &&
-            digits.toLong > cur) || // guarded parse: debris like "snap-" or an
-                                    // overlong id must not wedge every commit
+          snapRootId(name).exists(_ > cur) ||
           (name match { // shard files of an uncommitted (crashed) snapshot.
             // Same-id debris — a crashed writer whose snapshot id a
             // retrying racer later committed — needs the full
@@ -887,8 +906,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
             // carried shards are old files too, so the id rule alone
             // can't tell them apart, and parsing every root here would
             // put an O(roots) JSON cost on EVERY commit.
-            case shardRe(d) => d.toLong > cur
-            case _          => false
+            case shardNameRe(d) => d.toLong > cur
+            case _              => false
           })
       if (orphan && stale(p)) deleteRecursive(p)
     }
@@ -933,29 +952,35 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * operator's exact predicate refines. */
   def readBoxes(boxes: Seq[MBR]): (DataFrame, Int, Int) = {
     require(boxes.nonEmpty, "readBoxes needs at least one box")
+    // covering computed ONCE per read, OUTSIDE the refine closure: planAt
+    // invokes `refine` once per tombstone sequence group, and the quadtree
+    // descents + 4096-range merge are driver work proportional to geometry
+    // count — they must not multiply by delete-chain length.
+    //
+    // fine covering cap 4096: the row-level membership test is an
+    // O(log n) binary search ([[GeoCols.zCoveringPredicate]]), so a
+    // finer covering only SHRINKS the superset — the old 256 cap
+    // existed because the covering rode in an O(n)-per-row BETWEEN
+    // disjunction (measured 4.1 s at 256 ranges over 600k rows; the
+    // disjunction that parquet row-group skipping sees is now capped
+    // separately at 16 pushable terms inside zCoveringPredicate)
+    val ranges = CellId.mergeRanges(boxes.flatMap(curveRangesForMbr),
+      maxRanges = 4096)
+    // selectivity cutoff: when the merged covering spans most of the
+    // key domain (e.g. globe-scattered join boxes), the predicate
+    // excludes almost nothing — skip it entirely rather than pay even
+    // the cheap probe. The read stays a superset either way; the
+    // operator's exact predicate refines.
+    val covered = ranges.map(r => (r._2 - r._1 + 1).toDouble).sum
+    val skipRefine = covered / curveKeySpan > 0.5
     planAt(currentSnapshotId,
       keep = e => boxes.exists(b =>
         MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b)),
-      refine = df => {
-        // fine covering cap 4096: the row-level membership test is an
-        // O(log n) binary search ([[GeoCols.zCoveringPredicate]]), so a
-        // finer covering only SHRINKS the superset — the old 256 cap
-        // existed because the covering rode in an O(n)-per-row BETWEEN
-        // disjunction (measured 4.1 s at 256 ranges over 600k rows; the
-        // disjunction that parquet row-group skipping sees is now capped
-        // separately at 16 pushable terms inside zCoveringPredicate)
-        val ranges = CellId.mergeRanges(boxes.flatMap(curveRangesForMbr),
-          maxRanges = 4096)
-        // selectivity cutoff: when the merged covering spans most of the
-        // key domain (e.g. globe-scattered join boxes), the predicate
-        // excludes almost nothing — skip it entirely rather than pay even
-        // the cheap probe. The read stays a superset either way; the
-        // operator's exact predicate refines.
-        val covered = ranges.map(r => (r._2 - r._1 + 1).toDouble).sum
-        if (covered / curveKeySpan > 0.5) df
-        else df.filter(GeoCols.zCoveringPredicate(col("__z"), ranges))
-      },
-      boxesHint = Some(boxes))
+      refine = df =>
+        if (skipRefine) df
+        else df.filter(GeoCols.zCoveringPredicate(col("__z"), ranges)),
+      boxesHint = Some(boxes),
+      rangesHint = Some(ranges))
   }
 
   /** Size of this store's curve-key domain (for covering-selectivity
@@ -972,17 +997,20 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   /** Time travel: the same planned read against ANY committed snapshot —
     * vacuum() keeps every snapshot's files, so pre-compaction history
     * stays queryable until snapshots are expired out-of-band. */
-  def readAt(snapshotId: Long, box: Option[MBR] = None): (DataFrame, Int, Int) =
+  def readAt(snapshotId: Long, box: Option[MBR] = None): (DataFrame, Int, Int) = {
+    // hoisted for the same reason as [[readBoxes]]: one covering per read,
+    // not one per tombstone sequence group
+    val ranges = box.map(curveRangesForMbr)
     planAt(snapshotId,
       keep = e => box.forall(b =>
         MBR(e.minLat, e.minLon, e.maxLat, e.maxLon).overlaps(b)),
-      refine = df => box match {
-        case Some(b) =>
-          val ranges = curveRangesForMbr(b)
-          df.filter(GeoCols.zCoveringPredicate(col("__z"), ranges))
-        case None => df
+      refine = df => ranges match {
+        case Some(rs) => df.filter(GeoCols.zCoveringPredicate(col("__z"), rs))
+        case None     => df
       },
-      boxesHint = box.map(Seq(_)))
+      boxesHint = box.map(Seq(_)),
+      rangesHint = ranges)
+  }
 
   /** Shared snapshot planner: `keep` prunes manifest data entries (file
     * skipping — MBR overlap for box reads, Bloom probes for key lookups),
@@ -992,7 +1020,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
   private def planAt(snapshotId: Long, keep: FileEntry => Boolean,
                      refine: DataFrame => DataFrame,
                      boxesHint: Option[Seq[MBR]] = None,
-                     lineageHint: Option[String => Boolean] = None)
+                     lineageHint: Option[String => Boolean] = None,
+                     rangesHint: Option[Seq[(Long, Long)]] = None)
       : (DataFrame, Int, Int) = {
     // drop compaction lineage markers (zero-file entries kept only so
     // resumableRun still recognizes pre-compaction units as committed).
@@ -1001,7 +1030,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // skipped shard are provably disjoint from every box / bloom-clear
     // for every probed key, so `keep` would reject them anyway;
     // totalData stays the snapshot's true file count.
-    val (loaded, totalData) = manifestPartial(snapshotId, boxesHint, lineageHint)
+    val (loaded, totalData) =
+      manifestPartial(snapshotId, boxesHint, lineageHint, rangesHint)
     val all = loaded.filter(_.path.nonEmpty)
     val entries = all.filter(_.kind == "data")
     require(totalData > 0, "empty table: nothing committed yet")
@@ -1208,13 +1238,28 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     def canon(p: java.nio.file.Path): String =
       try p.toRealPath().toString
       catch { case _: Throwable => p.toAbsolutePath.normalize.toString }
+    def dirOf(e: FileEntry): String =
+      canon(Paths.get(e.path.stripPrefix("file:")).getParent)
+    // shards are immutable and shared across roots (shard reuse): parse
+    // each unique shard file ONCE for the whole loop — going through
+    // manifest(k) would re-download and re-parse the same carried shards
+    // per snapshot, O(snapshots × table) driver JSON on a long streaming
+    // history
+    val shardDirs = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     val referenced = (1L to currentSnapshotId)
       // expired snapshots no longer pin their files — that is the point
       // of expireSnapshots; their dirs become reclaimable here
       .filter(k => Files.exists(metaDir.resolve(s"snap-$k")))
-      .flatMap(manifest(_))
-      .filter(_.path.nonEmpty)
-      .map(e => canon(Paths.get(e.path.stripPrefix("file:")).getParent))
+      .flatMap { k =>
+        val p = metaDir.resolve(s"snap-$k")
+        if (Files.isRegularFile(p)) {
+          val (shards, inline) = MetaJson.parseManifestRoot(Files.readString(p))
+          inline.filter(_.path.nonEmpty).map(dirOf) ++
+            shards.flatMap(sm => shardDirs.getOrElseUpdate(sm.path,
+              MetaJson.parseManifest(Files.readString(metaDir.resolve(sm.path)))
+                .filter(_.path.nonEmpty).map(dirOf)))
+        } else manifest(k).filter(_.path.nonEmpty).map(dirOf) // legacy dir
+      }
       .toSet
     val dirs = listDir(Paths.get(root, "data"))
     // backstop: a committed table's live dirs MUST appear in the listing;
@@ -1236,13 +1281,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // reclaim those; the per-commit path deliberately skips this O(roots)
     // reference check). Deleting requires a KNOWN reference set: an
     // unreadable root returns None and nothing is touched (fail closed).
-    val shardRe = "^snap-([0-9]{1,18})-shard-.*\\.json$".r
     val removedShards = referencedShardPaths(Set.empty) match {
       case Some(refs) =>
         listDir(metaDir).filter { p =>
           (p.getFileName.toString match {
-            case shardRe(_) => !refs.contains(p.getFileName.toString)
-            case _          => false
+            case shardNameRe(_) => !refs.contains(p.getFileName.toString)
+            case _              => false
           }) &&
             (try Files.getLastModifiedTime(p).toMillis < cutoff
              catch { case _: Throwable => false })

@@ -402,6 +402,30 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.read()._1.count() == pts.filter(col("id") % 5 =!= 0).count())
   }
 
+  test("curve-range shard prune: rangesHint skips Z-disjoint shards, fail-open without it") {
+    val root = tmp()
+    val st = new SnapshotStore(spark, root, manifestShardRows = 3)
+    st.append(pts, "u-0", numPartitions = 24) // one append: Z-sorted chunking
+    val cur = st.currentSnapshotId
+    def dataCount(es: Seq[graft.table.FileEntry]) = es.count(_.kind == "data")
+    val total = dataCount(st.manifestPartial(cur, None)._1)
+    assert(total == 24)
+    // a band meeting no shard interval skips EVERY data shard — sound
+    // because shards carry only data entries (tombstones/markers inline)
+    val none = st.manifestPartial(cur, None,
+      rangesHint = Some(Seq((Long.MinValue, Long.MinValue + 1L))))._1
+    assert(dataCount(none) == 0, "disjoint band should skip all data shards")
+    // the first shard's own interval loads it but skips later Z chunks
+    val first = graft.table.MetaJson.parseManifestRoot(Files.readString(
+      java.nio.file.Paths.get(root, "meta", s"snap-$cur")))._1.minBy(_.minZ)
+    val some = st.manifestPartial(cur, None,
+      rangesHint = Some(Seq((first.minZ, first.maxZ))))._1
+    assert(dataCount(some) >= 3 && dataCount(some) < total,
+      s"band prune loaded ${dataCount(some)} of $total")
+    // no hint = fail open: full load
+    assert(dataCount(st.manifestPartial(cur, None)._1) == total)
+  }
+
   test("commit onto a sharded parent reuses its shard files by reference") {
     // shard reuse (round-5 review): an append must be O(commit size)
     // driver JSON, not O(table file count) — the parent's shard files
