@@ -73,14 +73,31 @@ object Bench {
       val buf = new Array[Byte](8192)
       while (p.getErrorStream.read(buf) >= 0) ()
     }).start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    val code = p.waitFor()
+    // stdout drained on a thread too, so the TIMEOUT below can fire even
+    // while the child is quiet: a wedged child (hung shuffle, dead
+    // executor thread) otherwise blocks readAllBytes forever, and a single
+    // stuck leg reproduces round 4's total artifact loss past any budget
+    val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val reader = new Thread(() => outRef.set(
+      new String(p.getInputStream.readAllBytes(), "UTF-8")))
+    reader.start()
+    val done = p.waitFor(ChildTimeoutS, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) p.destroyForcibly().waitFor()
+    reader.join(10000)
+    val code = if (done) p.exitValue() else -1
+    val out = outRef.get()
     val line = out.linesIterator.filter(_.contains("\"metric\"")).mkString("\n")
     val m = """"value":([0-9.]+)""".r.findAllMatchIn(line).toSeq
     val st = """"steal_pct":([0-9.-]+)""".r.findAllMatchIn(line).toSeq
     lastSteal = if (st.nonEmpty) st.last.group(1).toDouble else -1.0
     if (code == 0 && m.nonEmpty) m.last.group(1).toDouble else -1.0
   }
+
+  /** Hard per-child timeout: no single leg may silently eat the whole
+    * harness budget (a killed child reports -1 and the retry/reject
+    * machinery publishes it like any other failed leg). */
+  val ChildTimeoutS: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT_S", "600").toLong
 
   /** Hypervisor-steal share reported by the most recent child leg — the
     * apparatus evidence published next to each scaling pair. */
@@ -147,7 +164,15 @@ object Bench {
       val v = scalingLeg(cpus.toInt, headlineRows)
       if (v > 0) (headlineRows, v) else (0L, -1.0)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // the sweep is budget-gated too (finding of the round-5 review: the
+    // wall-clock budget only gated scaling, so a pre-checkpoint overrun
+    // still lost everything): past 60% of budget the remaining queries are
+    // skipped — absent from `queries`, flagged sweep_truncated — so the
+    // checkpoint emit is always reached with whatever was measured
+    var sweepTruncated = false
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (elapsedS > budgetS * 0.6) { sweepTruncated = true; None }
+      else Some {
       def rep(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -171,17 +196,28 @@ object Bench {
         if (times.contains(-1.0)) -1.0
         else if (times.size == 2) times.min
         else times.sorted.apply(times.size / 2)
-      name -> med
+      (name, med, times.size == 2)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // which queries published a 2-rep MIN (their first rep tripped the
+    // cutoff even if the published value is below it) — without the list a
+    // reader cannot tell a min-of-2 from a median-of-3 entry, and
+    // round-over-round deltas would silently compare the two statistics
+    val slowQs = results.filter(_._3).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // decompositions are extras: past 75% of budget they publish -1
+    // rather than risk the checkpoint emit (each stages a full table copy)
+    def decompFits: Boolean = elapsedS < budgetS * 0.75
     // q10d decomposition: the in-query GlobalIndex.build is a write-time
     // cost at scale (the index rides in snapshot manifests) — report the
     // build and the seeded query separately so the query number isn't
     // overstated by amortizable work
     val (tBuild, tQuery) =
       try {
+        if (!decompFits) throw new RuntimeException("budget")
         val pts = graft.data.Points(spark, sfDir)
         val t0 = System.nanoTime()
         val (clustered, gi) = graft.index.GlobalIndex.build(pts, r = 8, numPartitions = 8)
@@ -199,6 +235,7 @@ object Bench {
     // store, the number the in-sweep q10e (append + query) obscures
     val tStored =
       try {
+        if (!decompFits) throw new RuntimeException("budget")
         val root = java.nio.file.Files.createTempDirectory("graft_bench_q10e_")
         try {
           val store = new graft.table.SnapshotStore(spark, root.toString)
@@ -221,21 +258,32 @@ object Bench {
     // per-ball pruned read + per-query top-k)
     val (tBoxJoinStored, tKnnJoinStored) =
       try {
+        if (!decompFits) throw new RuntimeException("budget")
         val root = java.nio.file.Files.createTempDirectory("graft_bench_q09e_")
         try {
           val store = new graft.table.SnapshotStore(spark, root.toString)
           store.append(graft.data.Points(spark, sfDir), "unit-all", numPartitions = 8)
-          val t0 = System.nanoTime()
-          graft.ops.SpatialOps.boxJoin(
-            store.readBoxes(graft.data.Fixtures.boxes.map(_._2))._1,
-            graft.data.Fixtures.boxes,
-            graft.ops.SpatialOps.resolveRes(store,
-              graft.data.Fixtures.boxes.map(_._2))).count()
-          val t1 = System.nanoTime()
-          graft.index.GlobalIndex.knnJoinStored(store,
-            graft.data.Fixtures.knnQueries, graft.data.Fixtures.knnJoinK).count()
-          val t2 = System.nanoTime()
-          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+          // independent try per measurement: a knnJoinStored failure must
+          // not discard the boxJoin timing already captured (and vice
+          // versa — each publishes -1 alone)
+          val bj =
+            try {
+              val t0 = System.nanoTime()
+              graft.ops.SpatialOps.boxJoin(
+                store.readBoxes(graft.data.Fixtures.boxes.map(_._2))._1,
+                graft.data.Fixtures.boxes,
+                graft.ops.SpatialOps.resolveRes(store,
+                  graft.data.Fixtures.boxes.map(_._2))).count()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => -1.0 }
+          val kj =
+            try {
+              val t1 = System.nanoTime()
+              graft.index.GlobalIndex.knnJoinStored(store,
+                graft.data.Fixtures.knnQueries, graft.data.Fixtures.knnJoinK).count()
+              (System.nanoTime() - t1) / 1e9
+            } catch { case _: Throwable => -1.0 }
+          (bj, kj)
         } finally {
           graft.ops.OpUtil.deleteTree(root)
         }
@@ -323,7 +371,7 @@ object Bench {
       val rejStr = rejected.map(p =>
         s"[${"%.1f".format(p._1)},${"%.1f".format(p._2)},${"%.4f".format(p._3)}]")
         .mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"slow_cutoff_s":$SlowCutoffS,"slow_reps":2,"slow_stat":"min","queries":$qs,"sf":"$sfDir","elapsed_sec":${"%.1f".format(elapsedS)},"budget_sec":${"%.1f".format(budgetS)},"image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"boxjoin_stored_query_sec":${"%.3f".format(tBoxJoinStored)},"knnjoin_stored_query_sec":${"%.3f".format(tKnnJoinStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_truncated":$truncated,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"slow_cutoff_s":$SlowCutoffS,"slow_reps":2,"slow_stat":"min","slow_queries":$slowQs,"sweep_truncated":$sweepTruncated,"queries":$qs,"sf":"$sfDir","elapsed_sec":${"%.1f".format(elapsedS)},"budget_sec":${"%.1f".format(budgetS)},"image_table_rows":$hRows,"image_table_rows_per_sec":${"%.1f".format(hRps)},"scale_rows":$sRows,"scale_rows_per_sec":${"%.1f".format(sRps)},"knn_index_build_sec":${"%.3f".format(tBuild)},"knn_indexed_query_sec":${"%.3f".format(tQuery)},"knn_stored_query_sec":${"%.3f".format(tStored)},"boxjoin_stored_query_sec":${"%.3f".format(tBoxJoinStored)},"knnjoin_stored_query_sec":${"%.3f".format(tKnnJoinStored)},"scaling_rows":$scRows,"scaling_pairs":$scPairs,"scaling_floor_4c":${"%.1f".format(floor4)},"scaling_floor_16c":${"%.1f".format(floor16)},"scaling_legs_4c":${arr(legs4)},"scaling_legs_16c":${arr(legs16)},"scaling_rows_per_sec_4c":${"%.1f".format(effN)},"scaling_rows_per_sec_16c":${"%.1f".format(eff4N)},"scaling_pair_efficiencies":${arr4(pairEffs)},"scaling_rejected_pairs":$rejStr,"scaling_clean_pairs":${cleanPairs.size},"scaling_contended":$contended,"scaling_truncated":$truncated,"scaling_pair_steal_pct":${arr4(steals.toSeq)},"scaling_efficiency_4_to_16":${"%.4f".format(eff)}}""")
       System.out.flush()
     }
 

@@ -406,10 +406,14 @@ object SparkEntry {
       } finally ls.close()
       tops.foreach { p =>
         val name = p.getFileName.toString
-        // pid-scoped dirs (graft_qstage_<pid>) of a LIVE process are
-        // skipped regardless of mtime — a paused/long run's staged tables
-        // must survive until its oracle compare has read them
-        val ownerAlive = "_([0-9]+)$".r.findFirstMatchIn(name)
+        // pid-scoped dirs (graft_qstage_<pid>, ANCHORED) of a LIVE process
+        // are skipped regardless of mtime — a paused/long run's staged
+        // tables must survive until its oracle compare has read them. The
+        // anchor matters: a loose trailing-digits match would read
+        // createTempDirectory's random numeric suffixes as pids, and a
+        // recycled pid would then keep a dead run's multi-GB stage alive
+        // for as long as the unrelated process lives
+        val ownerAlive = "^graft_qstage_([0-9]+)$".r.findFirstMatchIn(name)
           .exists(m => ProcessHandle.of(m.group(1).toLong)
             .map[Boolean](_.isAlive).orElse(false))
         if (name.startsWith("graft_q") && !ownerAlive &&
@@ -417,8 +421,24 @@ object SparkEntry {
           graft.ops.OpUtil.deleteTree(p)
       }
     } catch { case _: Throwable => () } // cleanup is best-effort
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    // eager per-prefix reclamation: re-invoking the same storage query
+    // replaces its previous staged store (the same invalidate-on-re-run
+    // contract the overwrite-mode stage paths already have) — a 3-rep
+    // bench sweep otherwise accumulates a full table copy per rep per
+    // query with only the 2h TTL to bound it
+    lastStoreRoot.remove(prefix).foreach(old =>
+      try graft.ops.OpUtil.deleteTree(java.nio.file.Paths.get(old))
+      catch { case _: Throwable => () })
+    val fresh = java.nio.file.Files.createTempDirectory(prefix).toString
+    lastStoreRoot.put(prefix, fresh)
+    fresh
   }
+
+  /** Previous tempStore root per query prefix ([[tempStore]]'s eager
+    * reclamation); concurrent maps because queries may run from a
+    * streaming thread next to the driver loop. */
+  private val lastStoreRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Signature-staging paths — referenced by BOTH the Spark queries and
     * their DuckDB oracle SQL (generated in the same JVM), which must read

@@ -212,6 +212,32 @@ object GlobalIndex {
                     queries: Seq[(Int, Double, Double)], k: Int): DataFrame =
     knnJoinStoredPruned(store, queries, k)._1
 
+  /** The executed candidate plan of [[knnJoinStored]], pre-audit:
+    * broadcast nested-loop on the box containment predicate (the query
+    * side is tiny by contract; the candidate side is already pruned to the
+    * union of the balls — the |Q|-scale equi-join twin is
+    * SpatialOps.knnJoinPruned, this operator's point is the FILE skip),
+    * then the per-query top-k window. ONE definition shared with
+    * PlanDump's plan evidence, so docs/PLANS.md can never silently
+    * describe a plan the operator no longer executes.
+    * `bounds` = (q_id, qLat, qLon, radius). */
+  private[graft] def knnJoinCandidatePlan(cand: DataFrame,
+      bounds: Seq[(Int, Double, Double, Double)], k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val q = bounds.toDF("q_id", "qlat", "qlon", "rad")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
+    cand.join(broadcast(q),
+        col("lat") >= col("qlat") - col("rad") &&
+        col("lat") <= col("qlat") + col("rad") &&
+        col("lon") >= col("qlon") - col("rad") &&
+        col("lon") <= col("qlon") + col("rad"))
+      .withColumn("d2", GeoCols.d2Cols(col("lat"), col("lon"),
+        col("qlat"), col("qlon")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** [[knnJoinStored]] + the observed (files read, total files) so specs
     * can assert file skipping on the join path. */
   private[graft] def knnJoinStoredPruned(store: graft.table.SnapshotStore,
@@ -232,23 +258,7 @@ object GlobalIndex {
       MBR(qla - rad, qlo - rad, qla + rad, qlo + rad)
     }
     val (cand, kept, total) = store.readBoxes(boxes)
-    val spark = cand.sparkSession
-    import spark.implicits._
-    val q = bounds.toDF("q_id", "qlat", "qlon", "rad")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
-    // broadcast nested-loop on the box containment predicate: the query
-    // side is tiny by contract and the candidate side is already pruned
-    // to the union of the balls (the |Q|-scale equi-join twin is
-    // SpatialOps.knnJoinPruned; this operator's point is the FILE skip)
-    val pruned = cand.join(broadcast(q),
-        col("lat") >= col("qlat") - col("rad") &&
-        col("lat") <= col("qlat") + col("rad") &&
-        col("lon") >= col("qlon") - col("rad") &&
-        col("lon") <= col("qlon") + col("rad"))
-      .withColumn("d2", GeoCols.d2Cols(col("lat"), col("lon"),
-        col("qlat"), col("qlon")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val pruned = knnJoinCandidatePlan(cand, bounds, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perQ = pruned.groupBy("q_id")
       .agg(count(lit(1)).as("n"), max(col("d2")).as("dk"),

@@ -33,40 +33,49 @@ object StreamIngest {
     * collide with an OLD committed unit and silently drop new data. The
     * token ties lineage ids to the offsets they are idempotent against. */
   private def streamToken(checkpoint: String): String = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
+    import java.nio.file.{Files, Paths}
     // the token must live WITH the checkpoint it scopes: a non-local
     // checkpoint URI (hdfs://, s3a://) would silently resolve to a local
     // directory here, and a restart on another host would mint a fresh
     // token — re-delivered batches would re-append (duplicate rows).
     // Fail fast instead; remote-checkpoint deployments route the token
     // through the same catalog seam as multi-writer commits (SURVEY §7.4).
-    val scheme = try new java.net.URI(checkpoint).getScheme catch {
-      case _: java.net.URISyntaxException => null
-    }
-    require(scheme == null || scheme == "file",
-      s"streamToken requires a local checkpoint path, got '$checkpoint' — " +
-        "remote checkpoints need the token in the checkpoint's own " +
-        "filesystem (catalog seam), not the driver's local disk")
-    val dir = Paths.get(
-      if (scheme == "file") new java.net.URI(checkpoint).getPath else checkpoint)
+    // URI-scheme detection must not misread plain paths: a relative path
+    // with a colon ("ckpt-12:30/cp") parses as scheme "ckpt-12", and an
+    // opaque "file:chk" has a null getPath — only strings that actually
+    // spell a URI ("://", or the file: prefix) are treated as one.
+    val dir =
+      if (checkpoint.startsWith("file:")) {
+        val u = new java.net.URI(checkpoint)
+        Option(u.getPath).map(Paths.get(_))
+          .getOrElse(Paths.get(checkpoint.stripPrefix("file:")))
+      } else {
+        require(!checkpoint.contains("://"),
+          s"streamToken requires a local checkpoint path, got '$checkpoint' — " +
+            "remote checkpoints need the token in the checkpoint's own " +
+            "filesystem (catalog seam), not the driver's local disk")
+        Paths.get(checkpoint)
+      }
     Files.createDirectories(dir)
     val f = dir.resolve("graft-stream-id")
     if (!Files.exists(f)) {
-      // CREATE_NEW (O_EXCL): exactly one concurrent starter can create the
-      // file — the loser reads the winner's token. (An ATOMIC_MOVE here
-      // maps to rename(2), which silently REPLACES an existing target on
-      // POSIX: the loser would overwrite the winner's token and orphan the
-      // winner's already-committed lineage ids.) The token is one small
-      // write; a reader racing the winner polls past any empty window.
+      // Atomicity AND no-overwrite together: the content is written to a
+      // private temp file first, then PUBLISHED via createLink (link(2) —
+      // atomic, fails if the target exists). CREATE_NEW-then-write would
+      // leave a permanent zero-byte token on a crash between create and
+      // write; ATOMIC_MOVE maps to rename(2), which silently REPLACES an
+      // existing target on POSIX — a racing loser would overwrite the
+      // winner's token and orphan its already-committed lineage ids.
+      // Exactly one concurrent starter links successfully; losers read
+      // the winner's token, which is complete the instant it exists.
       val id = java.util.UUID.randomUUID().toString.take(8)
-      try Files.writeString(f, id, StandardOpenOption.CREATE_NEW)
+      val tmp = dir.resolve(s"graft-stream-id.tmp.$id")
+      Files.writeString(tmp, id)
+      try Files.createLink(f, tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
     }
-    var t = Files.readString(f).trim
-    var waitMs = 0
-    while (t.isEmpty && waitMs < 2000) { // racing the winner's write
-      Thread.sleep(20); waitMs += 20; t = Files.readString(f).trim
-    }
+    val t = Files.readString(f).trim
     require(t.nonEmpty,
       s"corrupt stream id at $f — delete the file to issue a fresh one")
     t
