@@ -128,6 +128,15 @@ object SparkEntry {
       SpatialOps.boxJoin(store.readBoxes(Fixtures.boxes.map(_._2))._1,
         Fixtures.boxes, SpatialOps.resolveRes(store, Fixtures.boxes.map(_._2)))
     }),
+    // the R-tree spatial join proper: rectangle sets on BOTH sides,
+    // PBSM cell-cover equi-join + reference-point dedup (MBR.java:47's
+    // overlaps test as a distributed operator — never a cartesian)
+    "q53_mbr_join" -> ((s, dir) => {
+      val pts = Points(s, dir)
+      SpatialOps.mbrJoin(
+        graft.data.Rects.derive(pts, Fixtures.RectClassA),
+        graft.data.Rects.derive(pts, Fixtures.RectClassB))
+    }),
     "q10_knn_ring" -> ((s, dir) => SpatialOps.knnRing(Points(s, dir),
       Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)),
     "q10b_knn_join" -> ((s, dir) => SpatialOps.knnJoinAgg(Points(s, dir),
@@ -481,6 +490,8 @@ object SparkEntry {
     "q09d_range_stored" -> OracleSql.rangeBox(Fixtures.boxes.head._2),
     "q10e_knn_stored" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
     "q09b_range_join" -> OracleSql.boxJoin(Fixtures.boxes),
+    "q53_mbr_join" -> OracleSql.mbrJoin(
+      Fixtures.RectMod, Fixtures.RectClassA, Fixtures.RectClassB),
     "q09e_boxjoin_stored" -> OracleSql.boxJoin(Fixtures.boxes),
     "q10f_knnjoin_stored" -> OracleSql.knnJoin(Fixtures.knnQueries, Fixtures.knnJoinK),
     "q10_knn_ring" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),

@@ -38,6 +38,23 @@ object Fixtures {
   /** Demo.java:11-12's fixed range box (inclusive bounds). */
   val demoBox: MBR = MBR(40.5979960, 22.9641400, 40.6, 22.97)
 
+  /** Rectangle-set derivation for the MBR-intersection join (q53, the
+    * R-tree spatial join — MBR.java:47's overlaps test as a distributed
+    * operator). Sparse id-modulus slices keep the oracle's rect × rect
+    * inequality join tractable at sf0.01; half-extents are integer
+    * arithmetic + ONE double division so the SQL twin is bit-identical.
+    * hlat = (id % 97)/100.0 + 0.5 ∈ [0.5, 1.46]°, hlon likewise with 89. */
+  val RectMod = 50
+  val RectClassA = 0
+  val RectClassB = 1
+  val RectHalfLatMod = 97
+  val RectHalfLonMod = 89
+
+  /** Grid resolution for the MBR-join cell cover: 2^7 cells → 1.41° × 2.81°
+    * — cell edge ≈ median rect edge, so each rect replicates to ≤ ~9 cells
+    * ([[graft.geo.CellId.pickResolution]] scales the pick with row count). */
+  val MbrJoinRes = 7
+
   /** Single-point kNN fixture (Demo.java:13-14 generalized to the global
     * cloud; k=25 exercises multi-ring expansion). */
   val knnPoint: (Double, Double) = (12.345, -67.89)

@@ -18,12 +18,19 @@ object GeoCols {
     * Distributed analog of the reference's per-node MBR prune
     * (RStarTree.java:426): filters on this column prune parquet row groups
     * and partitions. */
-  def cellCol(lat: Column, lon: Column, r: Int): Column = {
-    val latStep = CellId.latStep(r)
-    val lonStep = CellId.lonStep(r)
-    clampIdx(floor((lat + lit(90.0)) / lit(latStep)), r) * lit(CellId.n(r)) +
-      clampIdx(floor((lon + lit(180.0)) / lit(lonStep)), r)
-  }
+  def cellCol(lat: Column, lon: Column, r: Int): Column =
+    cellYIdx(lat, r) * lit(CellId.n(r)) + cellXIdx(lon, r)
+
+  /** Clamped grid row index of a latitude Column — the Column twin of
+    * [[CellId.cellY]]. Building block for coverings of rectangle-valued
+    * ROWS (the MBR-intersection join), where the box corners live in
+    * columns rather than plan literals. */
+  def cellYIdx(lat: Column, r: Int): Column =
+    clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), r)
+
+  /** Clamped grid column index of a longitude Column ([[CellId.cellX]]). */
+  def cellXIdx(lon: Column, r: Int): Column =
+    clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), r)
 
   /** Clamp a grid index into [0, 2^r − 1] — mirrors [[CellId.cellY]]/
     * [[CellId.cellX]] (and the oracle SQL twin), so a point exactly at

@@ -274,6 +274,48 @@ object SpatialOps {
       .select(col("box_id"), col("id"))
   }
 
+  /** MBR-intersection join — the R-tree SPATIAL JOIN, with RECTANGLE sets
+    * on BOTH sides: the reference's `MBR.overlaps` test (MBR.java:47, the
+    * predicate its range query applies per index node, RStarTree.java:426)
+    * lifted to a first-class distributed operator. PBSM shape: each
+    * rectangle replicates to every grid cell its box overlaps (a 2-D
+    * `sequence` explode — bounded, since cell edge ≈ median rect edge at
+    * the chosen resolution), the two sides EQUI-join on the cell (a
+    * hash-partitioned shuffle join — never a cartesian), the exact
+    * closed-box overlap predicate refines, and the REFERENCE-POINT rule
+    * deduplicates with zero extra shuffles: a qualifying pair is emitted
+    * only in the one cell containing the intersection's lower-left corner
+    * (that corner lies inside both rects, so its cell is in both covers —
+    * each pair meets there exactly once). Scale: shuffle volume =
+    * replication factor × input (pick r via [[graft.geo.CellId
+    * .pickResolution]] so the factor stays single-digit); output ∝ true
+    * result size; hot cells split by AQE skew-join on the equi-key. */
+  def mbrJoin(a: DataFrame, b: DataFrame,
+              r: Int = Fixtures.MbrJoinRes): DataFrame = {
+    val n = CellId.n(r)
+    def cover(df: DataFrame, p: String): DataFrame =
+      df.select(col("id").as(s"${p}_id"),
+          col("minlat").as(s"${p}_minlat"), col("minlon").as(s"${p}_minlon"),
+          col("maxlat").as(s"${p}_maxlat"), col("maxlon").as(s"${p}_maxlon"))
+        .select(col("*"), explode(sequence(
+          GeoCols.cellYIdx(col(s"${p}_minlat"), r),
+          GeoCols.cellYIdx(col(s"${p}_maxlat"), r))).as(s"${p}_y"))
+        .select(col("*"), explode(sequence(
+          GeoCols.cellXIdx(col(s"${p}_minlon"), r),
+          GeoCols.cellXIdx(col(s"${p}_maxlon"), r))).as(s"${p}_x"))
+        .withColumn(s"${p}_cell", col(s"${p}_y") * lit(n) + col(s"${p}_x"))
+    val refCell =
+      GeoCols.cellYIdx(greatest(col("a_minlat"), col("b_minlat")), r) * lit(n) +
+        GeoCols.cellXIdx(greatest(col("a_minlon"), col("b_minlon")), r)
+    cover(a, "a").join(cover(b, "b"), col("a_cell") === col("b_cell"))
+      .filter(col("a_minlat") <= col("b_maxlat") &&
+              col("b_minlat") <= col("a_maxlat") &&
+              col("a_minlon") <= col("b_maxlon") &&
+              col("b_minlon") <= col("a_maxlon"))
+      .filter(col("a_cell") === refCell)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Point-in-polygon join (north-rule op): per-polygon covering-cell prune
     * + even–odd ray-crossing refine, all as codegen'd Column predicates
     * (GeoCols.stContains). Polygons are plan literals → the whole join is a

@@ -141,6 +141,28 @@ object OracleSql {
        |          AND p.lon >= b.minlon AND p.lon <= b.maxlon""".stripMargin
   }
 
+  /** MBR-intersection join oracle: re-derive both rectangle sets from pts
+    * (twin of [[graft.data.Rects.derive]] — same integer mods, same single
+    * double division, same IEEE add/subtract) and join on the closed-box
+    * overlap inequality. DuckDB plans the conjunction of range predicates
+    * as an IEJoin, so the oracle stays tractable without any grid. */
+  def mbrJoin(mod: Int, clsA: Int, clsB: Int): String = {
+    def rectCte(alias: String, cls: Int): String =
+      s"""$alias AS (
+         |  SELECT id,
+         |         lat - ((id % ${Fixtures.RectHalfLatMod}) / 100.0 + 0.5) AS minlat,
+         |         lon - ((id % ${Fixtures.RectHalfLonMod}) / 100.0 + 0.5) AS minlon,
+         |         lat + ((id % ${Fixtures.RectHalfLatMod}) / 100.0 + 0.5) AS maxlat,
+         |         lon + ((id % ${Fixtures.RectHalfLonMod}) / 100.0 + 0.5) AS maxlon
+         |  FROM pts WHERE id % $mod = $cls
+         |)""".stripMargin
+    s"""$pointsCte, ${rectCte("ra", clsA)}, ${rectCte("rb", clsB)}
+       |SELECT ra.id AS a_id, rb.id AS b_id
+       |FROM ra JOIN rb
+       |  ON ra.minlat <= rb.maxlat AND rb.minlat <= ra.maxlat
+       | AND ra.minlon <= rb.maxlon AND rb.minlon <= ra.maxlon""".stripMargin
+  }
+
   def pipJoin(polys: Seq[(Int, Poly)]): String = {
     val arms = polys.map { case (pid, p) =>
       s"SELECT $pid AS poly_id, id FROM pts WHERE ${polyContainsSql(p)}"

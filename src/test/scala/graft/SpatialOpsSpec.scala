@@ -117,6 +117,52 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(exp.exists(_._1 == Fixtures.polyConcave._1), "concave poly matched no points")
   }
 
+  test("mbrJoin == in-memory all-pairs overlap (reference-point dedup exact)") {
+    // mod=10 at sf0.001 → 600 rects/side, ~90 expected pairs: dense enough
+    // that a duplicate emission or a dropped boundary pair cannot hide
+    val ra = graft.data.Rects.derive(pts, 0, mod = 10)
+    val rb = graft.data.Rects.derive(pts, 1, mod = 10)
+    def rects(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val (as, bs) = (rects(ra), rects(rb))
+    val exp = (for {
+      (ai, aminlat, aminlon, amaxlat, amaxlon) <- as
+      (bi, bminlat, bminlon, bmaxlat, bmaxlon) <- bs
+      if aminlat <= bmaxlat && bminlat <= amaxlat &&
+         aminlon <= bmaxlon && bminlon <= amaxlon
+    } yield (ai, bi)).toSeq
+    val got = SpatialOps.mbrJoin(ra, rb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exp.nonEmpty, "fixture produced no overlapping pairs")
+    // sorted SEQ equality = multiset equality: a pair emitted in two
+    // cover cells (broken reference-point rule) fails here, a distinct()
+    // could not have hidden it
+    assert(got.sorted == exp.sorted)
+  }
+
+  test("mbrJoin: corner-touching boxes pair exactly once across cell seams") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 0.0, 10.0, 10.0), (2L, 50.0, 50.0, 60.0, 60.0))
+      .toDF("id", "minlat", "minlon", "maxlat", "maxlon").repartition(2)
+    val b = Seq(
+      (7L, 10.0, 10.0, 20.0, 20.0),  // touches rect 1 at the single corner (10,10)
+      (8L, -5.0, -5.0, 0.5, 0.5),    // overlaps rect 1 across the lat/lon=0 cell seam
+      (9L, 80.0, 80.0, 89.0, 99.0))  // disjoint from both
+      .toDF("id", "minlat", "minlon", "maxlat", "maxlon").repartition(2)
+    val got = SpatialOps.mbrJoin(a, b, r = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 7L), (1L, 8L)))
+  }
+
+  test("mbrJoin plans a cell equi-join, never a cartesian") {
+    val ra = graft.data.Rects.derive(pts, 0, mod = 10)
+    val rb = graft.data.Rects.derive(pts, 1, mod = 10)
+    val plan = SpatialOps.mbrJoin(ra, rb).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("boxJoinSalted == boxJoin on a skewed (hotspot) cloud") {
     import org.apache.spark.sql.functions._
     val skewed = graft.data.Synth.imagePoints(
