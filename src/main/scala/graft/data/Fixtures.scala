@@ -50,9 +50,9 @@ object Fixtures {
   val RectHalfLatMod = 97
   val RectHalfLonMod = 89
 
-  /** Grid resolution for the MBR-join cell cover: 2^7 cells → 1.41° × 2.81°
-    * — cell edge ≈ median rect edge, so each rect replicates to ≤ ~9 cells
-    * ([[graft.geo.CellId.pickResolution]] scales the pick with row count). */
+  /** Fallback grid resolution for the MBR-join cell cover (empty-input
+    * case only — the live pick is [[graft.ops.SpatialOps.resolveRectRes]],
+    * which matches cell edge to the measured mean rect edge). */
   val MbrJoinRes = 7
 
   /** Single-point kNN fixture (Demo.java:13-14 generalized to the global

@@ -43,8 +43,8 @@ object GeoCols {
     * packing. Pure bit-twiddling on built-in expressions (shiftleft / and /
     * or), codegen-compatible. */
   def zCol(lat: Column, lon: Column, r: Int): Column = {
-    val y = clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), r)
-    val x = clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), r)
+    val y = cellYIdx(lat, r)
+    val x = cellXIdx(lon, r)
     def spread(v: Column): Column = {
       var c = v.bitwiseAND(lit(0xFFFFFFFFL))
       c = (c.bitwiseOR(shiftleft(c, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
@@ -67,8 +67,7 @@ object GeoCols {
     * bulk-load sort (RStarTree.java:177) — STR is that sort plus the
     * within-strip secondary order it lacks. */
   def strCol(lat: Column, lon: Column, stripRes: Int, fineRes: Int): Column =
-    shiftleft(clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(stripRes))), stripRes), 32)
-      .bitwiseOR(clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(fineRes))), fineRes))
+    shiftleft(cellYIdx(lat, stripRes), 32).bitwiseOR(cellXIdx(lon, fineRes))
 
   /** Append a Hilbert-curve clustering key column ([[CellId.hilbertD]]
     * twin) — the alternative bulk-load packing key the north star names
@@ -84,8 +83,8 @@ object GeoCols {
                   r: Int, out: String): org.apache.spark.sql.DataFrame = {
     val n = CellId.n(r)
     var cur = df
-      .withColumn("__hx", clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), r))
-      .withColumn("__hy", clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), r))
+      .withColumn("__hx", cellXIdx(lon, r))
+      .withColumn("__hy", cellYIdx(lat, r))
       .withColumn("__hd", lit(0L))
     for (i <- r - 1 to 0 by -1) {
       val s = 1L << i
@@ -161,10 +160,10 @@ object GeoCols {
     * until the key is materialized). */
   def cellBoxPredicate(lat: Column, lon: Column, r: Int,
                        y0: Long, y1: Long, x0: Long, x1: Long): Column = {
-    // same clampIdx as cellCol/zCol — the lat=90/lon=180 edge contract is
-    // defined once
-    val y = clampIdx(floor((lat + lit(90.0)) / lit(CellId.latStep(r))), r)
-    val x = clampIdx(floor((lon + lit(180.0)) / lit(CellId.lonStep(r))), r)
+    // same clamped indices as cellCol/zCol — the lat=90/lon=180 edge
+    // contract is defined once
+    val y = cellYIdx(lat, r)
+    val x = cellXIdx(lon, r)
     y >= lit(y0) && y <= lit(y1) && x >= lit(x0) && x <= lit(x1)
   }
 

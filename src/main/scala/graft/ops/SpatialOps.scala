@@ -287,11 +287,13 @@ object SpatialOps {
     * only in the one cell containing the intersection's lower-left corner
     * (that corner lies inside both rects, so its cell is in both covers —
     * each pair meets there exactly once). Scale: shuffle volume =
-    * replication factor × input (pick r via [[graft.geo.CellId
-    * .pickResolution]] so the factor stays single-digit); output ∝ true
-    * result size; hot cells split by AQE skew-join on the equi-key. */
+    * replication factor × input, and [[resolveRectRes]] keeps the factor
+    * single-digit by matching cell edge to the measured mean rect edge;
+    * output ∝ true result size; hot cells split by AQE skew-join on the
+    * equi-key. */
   def mbrJoin(a: DataFrame, b: DataFrame,
-              r: Int = Fixtures.MbrJoinRes): DataFrame = {
+              rOverride: Int = AutoRes): DataFrame = {
+    val r = if (rOverride != AutoRes) rOverride else resolveRectRes(a, b)
     val n = CellId.n(r)
     def cover(df: DataFrame, p: String): DataFrame =
       df.select(col("id").as(s"${p}_id"),
@@ -315,6 +317,34 @@ object SpatialOps {
       .filter(col("a_cell") === refCell)
       .select(col("a_id"), col("b_id"))
   }
+
+  /** Adaptive grid pick for RECTANGLE-valued sides — the [[resolveRes]]
+    * analog when the geometry lives in rows rather than plan literals:
+    * one bounded-sample narrow aggregate (negligible next to the join
+    * itself) estimates the mean rect edge, and the pick is the finest r
+    * whose cell edge still covers it — each rect then replicates to ~4
+    * cells regardless of workload, the bound the PBSM shuffle-volume
+    * story rests on. Join results are r-invariant (cover + exact refine
+    * + reference-point dedup is exact at ANY r, spec-pinned); only the
+    * replication/selectivity trade-off moves with the pick. */
+  private[graft] def resolveRectRes(a: DataFrame, b: DataFrame): Int = {
+    def edges(df: DataFrame) = df.select(
+      (col("maxlat") - col("minlat")).as("elat"),
+      (col("maxlon") - col("minlon")).as("elon"))
+    val s = edges(a).unionAll(edges(b)).limit(RectResSampleRows)
+      .agg(avg(col("elat")), avg(col("elon"))).head()
+    if (s.isNullAt(0) || s.isNullAt(1)) return Fixtures.MbrJoinRes // empty sides
+    val eLat = math.max(s.getDouble(0), 1e-9)
+    val eLon = math.max(s.getDouble(1), 1e-9)
+    var r = 0
+    while (r < CellId.MaxRes &&
+      CellId.latStep(r + 1) >= eLat && CellId.lonStep(r + 1) >= eLon) r += 1
+    r
+  }
+
+  /** Sample bound for [[resolveRectRes]]: enough rows that the mean edge
+    * is stable, few enough that the pick costs one tiny local job. */
+  private val RectResSampleRows = 65536
 
   /** Point-in-polygon join (north-rule op): per-polygon covering-cell prune
     * + even–odd ray-crossing refine, all as codegen'd Column predicates

@@ -150,9 +150,25 @@ class SpatialOpsSpec extends AnyFunSuite {
       (8L, -5.0, -5.0, 0.5, 0.5),    // overlaps rect 1 across the lat/lon=0 cell seam
       (9L, 80.0, 80.0, 89.0, 99.0))  // disjoint from both
       .toDF("id", "minlat", "minlon", "maxlat", "maxlon").repartition(2)
-    val got = SpatialOps.mbrJoin(a, b, r = 5)
+    val got = SpatialOps.mbrJoin(a, b, rOverride = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(got == Seq((1L, 7L), (1L, 8L)))
+  }
+
+  test("mbrJoin is r-invariant; adaptive pick matches cell edge to rect edge") {
+    val ra = graft.data.Rects.derive(pts, 0, mod = 10)
+    val rb = graft.data.Rects.derive(pts, 1, mod = 10)
+    // mean edge ≈ 1.96° lat / 1.92° lon → finest cell edge covering it is
+    // r=6 (2.81° × 5.625°); the pick must not drift with the data order
+    assert(SpatialOps.resolveRectRes(ra, rb) == 6)
+    def run(r: Int) = SpatialOps.mbrJoin(ra, rb, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    val adaptive = SpatialOps.mbrJoin(ra, rb)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(run(5) == adaptive && run(8) == adaptive)
+    // empty side: adaptive pick falls back, result is empty, no failure
+    val empty = ra.filter(col("id") < 0)
+    assert(SpatialOps.mbrJoin(empty, rb).count() == 0)
   }
 
   test("mbrJoin plans a cell equi-join, never a cartesian") {
