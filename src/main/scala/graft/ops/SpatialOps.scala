@@ -279,8 +279,9 @@ object SpatialOps {
     * predicate its range query applies per index node, RStarTree.java:426)
     * lifted to a first-class distributed operator. PBSM shape: each
     * rectangle replicates to every grid cell its box overlaps (a 2-D
-    * `sequence` explode — bounded, since cell edge ≈ median rect edge at
-    * the chosen resolution), the two sides EQUI-join on the cell (a
+    * `sequence` explode — bounded, since [[resolveRectRes]] matches the
+    * cell edge to the larger side's MEAN rect edge and caps the sampled
+    * max rect at [[MaxCoverCells]]), the two sides EQUI-join on the cell (a
     * hash-partitioned shuffle join — never a cartesian), the exact
     * closed-box overlap predicate refines, and the REFERENCE-POINT rule
     * deduplicates with zero extra shuffles: a qualifying pair is emitted
@@ -319,31 +320,55 @@ object SpatialOps {
   }
 
   /** Adaptive grid pick for RECTANGLE-valued sides — the [[resolveRes]]
-    * analog when the geometry lives in rows rather than plan literals:
-    * one bounded-sample narrow aggregate (negligible next to the join
-    * itself) estimates the mean rect edge, and the pick is the finest r
-    * whose cell edge still covers it — each rect then replicates to ~4
-    * cells regardless of workload, the bound the PBSM shuffle-volume
-    * story rests on. Join results are r-invariant (cover + exact refine
-    * + reference-point dedup is exact at ANY r, spec-pinned); only the
-    * replication/selectivity trade-off moves with the pick. */
+    * analog when the geometry lives in rows rather than plan literals.
+    * Because the edge distribution is data, the pick deliberately runs a
+    * bounded-sample narrow aggregate PER SIDE at plan-construction time
+    * (two tiny jobs — the one place the zero-action pick convention of
+    * [[estimateRows]] cannot apply; the join itself rescans everything, so
+    * the sample is negligible). Per-side sampling matters: a pooled
+    * `union.limit` sample reads rows in partition order and can see only
+    * one side. The pick is the finest r whose cell edge still covers the
+    * LARGER side's mean edge — replication blows up only when cell edge ≪
+    * rect edge, so the coarser of the two per-side picks bounds
+    * replication to ~4 cells/rect on BOTH sides (the smaller side's rects
+    * land in ~1 cell; selectivity coarsens, exactness never — results are
+    * r-invariant, spec-pinned). An outlier guard then coarsens until the
+    * sampled MAX edge covers ≤ [[MaxCoverCells]] cells, so one
+    * near-world-spanning rect cannot explode the cover. */
   private[graft] def resolveRectRes(a: DataFrame, b: DataFrame): Int = {
-    def edges(df: DataFrame) = df.select(
-      (col("maxlat") - col("minlat")).as("elat"),
-      (col("maxlon") - col("minlon")).as("elon"))
-    val s = edges(a).unionAll(edges(b)).limit(RectResSampleRows)
-      .agg(avg(col("elat")), avg(col("elon"))).head()
-    if (s.isNullAt(0) || s.isNullAt(1)) return Fixtures.MbrJoinRes // empty sides
-    val eLat = math.max(s.getDouble(0), 1e-9)
-    val eLon = math.max(s.getDouble(1), 1e-9)
+    // (meanLat, meanLon, maxLat, maxLon) edge stats of one side, or None
+    // when the side is empty
+    def sideStats(df: DataFrame): Option[(Double, Double, Double, Double)] = {
+      val s = df.select(
+          (col("maxlat") - col("minlat")).as("elat"),
+          (col("maxlon") - col("minlon")).as("elon"))
+        .limit(RectResSampleRows)
+        .agg(avg(col("elat")), avg(col("elon")),
+             max(col("elat")), max(col("elon"))).head()
+      if (s.isNullAt(0)) None
+      else Some((s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3)))
+    }
+    val stats = Seq(sideStats(a), sideStats(b)).flatten
+    if (stats.isEmpty) return Fixtures.MbrJoinRes // both sides empty
+    val eLat = math.max(stats.map(_._1).max, 1e-9)
+    val eLon = math.max(stats.map(_._2).max, 1e-9)
     var r = 0
     while (r < CellId.MaxRes &&
       CellId.latStep(r + 1) >= eLat && CellId.lonStep(r + 1) >= eLon) r += 1
+    // outlier guard: a span of length L crosses at most floor(L/step)+2
+    // cells per axis — coarsen until the sampled max rect stays inside the
+    // pickRes cover budget
+    val mLat = stats.map(_._3).max
+    val mLon = stats.map(_._4).max
+    def worstCover(rr: Int): Long =
+      (math.floor(mLat / CellId.latStep(rr)).toLong + 2L) *
+        (math.floor(mLon / CellId.lonStep(rr)).toLong + 2L)
+    while (r > 0 && worstCover(r) > MaxCoverCells) r -= 1
     r
   }
 
-  /** Sample bound for [[resolveRectRes]]: enough rows that the mean edge
-    * is stable, few enough that the pick costs one tiny local job. */
+  /** Per-side sample bound for [[resolveRectRes]]: enough rows that the
+    * mean edge is stable, few enough that each pick job stays tiny. */
   private val RectResSampleRows = 65536
 
   /** Point-in-polygon join (north-rule op): per-polygon covering-cell prune

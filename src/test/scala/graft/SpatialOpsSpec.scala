@@ -166,9 +166,49 @@ class SpatialOpsSpec extends AnyFunSuite {
     val adaptive = SpatialOps.mbrJoin(ra, rb)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
     assert(run(5) == adaptive && run(8) == adaptive)
-    // empty side: adaptive pick falls back, result is empty, no failure
+    // ONE empty side: the pick comes from the other side's stats (normal
+    // path), the join is empty, no failure
     val empty = ra.filter(col("id") < 0)
+    assert(SpatialOps.resolveRectRes(empty, rb) ==
+           SpatialOps.resolveRectRes(rb, rb))
     assert(SpatialOps.mbrJoin(empty, rb).count() == 0)
+    // BOTH sides empty: the MbrJoinRes fallback branch proper
+    assert(SpatialOps.resolveRectRes(empty, empty) == Fixtures.MbrJoinRes)
+    assert(SpatialOps.mbrJoin(empty, empty).count() == 0)
+  }
+
+  test("mbrJoin adaptive pick is per-side sampled and outlier-guarded") {
+    import spark.implicits._
+    // 1000 tiny rects (0.5° edges) plus ONE near-world-spanning outlier:
+    // the mean-edge pick alone chooses r=7 (1.41° cells) and the outlier
+    // would explode to ~128×129 ≈ 16.5k cover cells; the max-edge guard
+    // must coarsen until it fits MaxCoverCells (4096) → r=5 (33² = 1089)
+    val tiny = Seq.tabulate(1000) { i =>
+      val la = -80.0 + (i % 160); val lo = -170.0 + (i % 340)
+      (i.toLong, la, lo, la + 0.5, lo + 0.5)
+    }
+    val world = Seq((9999L, -89.0, -179.0, 89.0, 179.0))
+    val a = (tiny ++ world).toDF("id", "minlat", "minlon", "maxlat", "maxlon")
+      .repartition(4)
+    val b = Seq((1L, 10.0, 10.0, 11.0, 11.0), (2L, -50.0, 30.0, -49.0, 31.0))
+      .toDF("id", "minlat", "minlon", "maxlat", "maxlon").repartition(2)
+    val r = SpatialOps.resolveRectRes(a, b)
+    assert(r == 5, s"expected the outlier guard to coarsen to 5, got $r")
+    // order of sides must not change the pick (per-side stats, no pooled
+    // partition-order sample bias)
+    assert(SpatialOps.resolveRectRes(b, a) == r)
+    // the join through the guarded pick is still exact — verify against an
+    // in-memory brute force
+    val got = SpatialOps.mbrJoin(a, b)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    val av = (tiny ++ world)
+    val bv = Seq((1L, 10.0, 10.0, 11.0, 11.0), (2L, -50.0, 30.0, -49.0, 31.0))
+    val exp = (for {
+      (ai, alat0, alon0, alat1, alon1) <- av
+      (bi, blat0, blon0, blat1, blon1) <- bv
+      if alat0 <= blat1 && blat0 <= alat1 && alon0 <= blon1 && blon0 <= alon1
+    } yield (ai, bi)).sorted
+    assert(got == exp)
   }
 
   test("mbrJoin plans a cell equi-join, never a cartesian") {
