@@ -137,6 +137,15 @@ object SparkEntry {
         graft.data.Rects.derive(pts, Fixtures.RectClassA),
         graft.data.Rects.derive(pts, Fixtures.RectClassB))
     }),
+    // the salted twin (q09c's treatment for the rect×rect family): hot
+    // cover cells salt side a and replicate side b IN THE PLAN (both
+    // sides are row-borne); output is mbrJoin's exactly — same oracle
+    "q53b_mbr_join_salted" -> ((s, dir) => {
+      val pts = Points(s, dir)
+      SpatialOps.mbrJoinSalted(
+        graft.data.Rects.derive(pts, Fixtures.RectClassA),
+        graft.data.Rects.derive(pts, Fixtures.RectClassB))
+    }),
     "q10_knn_ring" -> ((s, dir) => SpatialOps.knnRing(Points(s, dir),
       Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK)),
     "q10b_knn_join" -> ((s, dir) => SpatialOps.knnJoinAgg(Points(s, dir),
@@ -491,6 +500,8 @@ object SparkEntry {
     "q10e_knn_stored" -> OracleSql.knn(Fixtures.knnPoint._1, Fixtures.knnPoint._2, Fixtures.knnK),
     "q09b_range_join" -> OracleSql.boxJoin(Fixtures.boxes),
     "q53_mbr_join" -> OracleSql.mbrJoin(
+      Fixtures.RectMod, Fixtures.RectClassA, Fixtures.RectClassB),
+    "q53b_mbr_join_salted" -> OracleSql.mbrJoin(
       Fixtures.RectMod, Fixtures.RectClassA, Fixtures.RectClassB),
     "q09e_boxjoin_stored" -> OracleSql.boxJoin(Fixtures.boxes),
     "q10f_knnjoin_stored" -> OracleSql.knnJoin(Fixtures.knnQueries, Fixtures.knnJoinK),

@@ -295,27 +295,85 @@ object SpatialOps {
   def mbrJoin(a: DataFrame, b: DataFrame,
               rOverride: Int = AutoRes): DataFrame = {
     val r = if (rOverride != AutoRes) rOverride else resolveRectRes(a, b)
-    val n = CellId.n(r)
-    def cover(df: DataFrame, p: String): DataFrame =
-      df.select(col("id").as(s"${p}_id"),
-          col("minlat").as(s"${p}_minlat"), col("minlon").as(s"${p}_minlon"),
-          col("maxlat").as(s"${p}_maxlat"), col("maxlon").as(s"${p}_maxlon"))
-        .select(col("*"), explode(sequence(
-          GeoCols.cellYIdx(col(s"${p}_minlat"), r),
-          GeoCols.cellYIdx(col(s"${p}_maxlat"), r))).as(s"${p}_y"))
-        .select(col("*"), explode(sequence(
-          GeoCols.cellXIdx(col(s"${p}_minlon"), r),
-          GeoCols.cellXIdx(col(s"${p}_maxlon"), r))).as(s"${p}_x"))
-        .withColumn(s"${p}_cell", col(s"${p}_y") * lit(n) + col(s"${p}_x"))
+    rectCover(a, "a", r).join(rectCover(b, "b", r),
+        col("a_cell") === col("b_cell"))
+      .filter(rectOverlapAndRef(r))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Grid-cell cover of a rect side for the PBSM joins: prefix the columns,
+    * 2-D `sequence` explode over the clamped cell-index ranges, cell id. */
+  private def rectCover(df: DataFrame, p: String, r: Int): DataFrame =
+    df.select(col("id").as(s"${p}_id"),
+        col("minlat").as(s"${p}_minlat"), col("minlon").as(s"${p}_minlon"),
+        col("maxlat").as(s"${p}_maxlat"), col("maxlon").as(s"${p}_maxlon"))
+      .select(col("*"), explode(sequence(
+        GeoCols.cellYIdx(col(s"${p}_minlat"), r),
+        GeoCols.cellYIdx(col(s"${p}_maxlat"), r))).as(s"${p}_y"))
+      .select(col("*"), explode(sequence(
+        GeoCols.cellXIdx(col(s"${p}_minlon"), r),
+        GeoCols.cellXIdx(col(s"${p}_maxlon"), r))).as(s"${p}_x"))
+      .withColumn(s"${p}_cell",
+        col(s"${p}_y") * lit(CellId.n(r)) + col(s"${p}_x"))
+
+  /** Post-cell-join refine for the PBSM joins: exact closed-box overlap +
+    * the reference-point rule (emit only in the cell holding the
+    * intersection's lower-left corner). */
+  private def rectOverlapAndRef(r: Int): Column = {
     val refCell =
-      GeoCols.cellYIdx(greatest(col("a_minlat"), col("b_minlat")), r) * lit(n) +
+      GeoCols.cellYIdx(greatest(col("a_minlat"), col("b_minlat")), r) *
+        lit(CellId.n(r)) +
         GeoCols.cellXIdx(greatest(col("a_minlon"), col("b_minlon")), r)
-    cover(a, "a").join(cover(b, "b"), col("a_cell") === col("b_cell"))
-      .filter(col("a_minlat") <= col("b_maxlat") &&
-              col("b_minlat") <= col("a_maxlat") &&
-              col("a_minlon") <= col("b_maxlon") &&
-              col("b_minlon") <= col("a_maxlon"))
-      .filter(col("a_cell") === refCell)
+    col("a_minlat") <= col("b_maxlat") &&
+      col("b_minlat") <= col("a_maxlat") &&
+      col("a_minlon") <= col("b_maxlon") &&
+      col("b_minlon") <= col("a_maxlon") &&
+      col("a_cell") === refCell
+  }
+
+  /** Skew-aware MBR-intersection join — [[boxJoinSalted]]'s treatment for
+    * the rect×rect family, where BOTH sides are row-borne so the hot-cell
+    * replication must itself be a plan (a conditional `explode`, not a
+    * driver-side Seq). Side a's hot-cell cover rows get a deterministic
+    * salt (xxhash64(a_id) — reproducible), side b's hot-cell cover rows
+    * replicate across all salts; cold cells keep salt 0, so there is NO
+    * blowup off the hot set. Exactly-once survives salting: a pair's
+    * reference cell is unique, and within it the a-row carries exactly one
+    * salt, which side b's replication is guaranteed to cover. Output is
+    * identical to [[mbrJoin]] (spec-proven on a hotspot cloud); AQE's
+    * skew split handles residual imbalance. Hot cells come from the hint
+    * (write-time stats — zero extra scans) or ONE histogram pass over
+    * side a's cover. */
+  def mbrJoinSalted(a: DataFrame, b: DataFrame,
+                    rOverride: Int = AutoRes, saltFactor: Int = 8,
+                    hotThreshold: Double = 0.05,
+                    hotCells: Option[(Int, Set[Long])] = None): DataFrame = {
+    // as in boxJoinSalted: a hint keyed at a different resolution would
+    // salt numerically-coincident but WRONG cells — the hint's r wins
+    require(hotCells.forall(h => rOverride < 0 || h._1 == rOverride),
+      s"hot-cell hint keyed at r=${hotCells.get._1} but rOverride=$rOverride")
+    val r = hotCells.map(_._1).getOrElse(
+      if (rOverride != AutoRes) rOverride else resolveRectRes(a, b))
+    val ca = rectCover(a, "a", r)
+    val cb = rectCover(b, "b", r)
+    val hot: Set[Long] = hotCells.map(_._2).getOrElse(hotCellsFromHistogram(
+      ca.groupBy(col("a_cell").as("cell")).agg(count(lit(1)).as("cnt")),
+      hotThreshold))
+    val (saltedA, saltedB) =
+      if (hot.isEmpty) (ca.withColumn("a_salt", lit(0)),
+                        cb.withColumn("b_salt", lit(0)))
+      else (
+        ca.withColumn("a_salt",
+          when(col("a_cell").isInCollection(hot),
+            pmod(xxhash64(col("a_id")), lit(saltFactor)).cast("int"))
+            .otherwise(lit(0))),
+        cb.select(col("*"), explode(
+          when(col("b_cell").isInCollection(hot),
+            sequence(lit(0), lit(saltFactor - 1)))
+            .otherwise(array(lit(0)))).as("b_salt")))
+    saltedA.join(saltedB,
+        col("a_cell") === col("b_cell") && col("a_salt") === col("b_salt"))
+      .filter(rectOverlapAndRef(r))
       .select(col("a_id"), col("b_id"))
   }
 

@@ -211,6 +211,42 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("mbrJoinSalted == mbrJoin on a skewed (hotspot) rect cloud") {
+    import org.apache.spark.sql.functions._
+    val skewed = graft.data.Synth.imagePoints(
+        graft.data.Synth.table(spark, 600, seed = 42L, hotspotFrac = 0.4).toDF())
+      .withColumn("id", xxhash64(col("image_id")))
+      .select("id", "lat", "lon").cache()
+    val ra = graft.data.Rects.derive(skewed, 0, mod = 10)
+    val rb = graft.data.Rects.derive(skewed, 1, mod = 10)
+    val r = SpatialOps.resolveRectRes(ra, rb)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    val base = norm(SpatialOps.mbrJoin(ra, rb, r))
+    assert(base.nonEmpty)
+    // auto path: hot cells from one histogram pass over side a's cover
+    assert(norm(SpatialOps.mbrJoinSalted(ra, rb, r)) == base)
+    // hint path: pin the hotspot's cell as hot so the salting branch
+    // (a-side hashed salt, b-side conditional-explode replication) is
+    // KNOWN to engage — 40% of rects center on one cell
+    val hotCell = skewed.groupBy(graft.geo.GeoCols.cellCol(
+        col("lat"), col("lon"), r).as("c")).count()
+      .orderBy(desc("count")).collect()(0).getLong(0)
+    assert(norm(SpatialOps.mbrJoinSalted(ra, rb, r,
+      hotCells = Some((r, Set(hotCell))))) == base)
+    // salted plan is still an equi-join, never a cartesian
+    val plan = SpatialOps.mbrJoinSalted(ra, rb, r,
+      hotCells = Some((r, Set(hotCell))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // mismatched hint resolution must be refused, not silently mis-salted
+    intercept[IllegalArgumentException] {
+      SpatialOps.mbrJoinSalted(ra, rb, r + 1, hotCells = Some((r, Set(hotCell))))
+    }
+    skewed.unpersist()
+  }
+
   test("mbrJoin plans a cell equi-join, never a cartesian") {
     val ra = graft.data.Rects.derive(pts, 0, mod = 10)
     val rb = graft.data.Rects.derive(pts, 1, mod = 10)
