@@ -294,6 +294,9 @@ object SpatialOps {
     * equi-key. */
   def mbrJoin(a: DataFrame, b: DataFrame,
               rOverride: Int = AutoRes): DataFrame = {
+    require(rOverride == AutoRes ||
+      (rOverride >= 0 && rOverride <= CellId.MaxRes),
+      s"rOverride must be AutoRes or in [0, ${CellId.MaxRes}], got $rOverride")
     val r = if (rOverride != AutoRes) rOverride else resolveRectRes(a, b)
     rectCover(a, "a", r).join(rectCover(b, "b", r),
         col("a_cell") === col("b_cell"))
@@ -342,40 +345,63 @@ object SpatialOps {
     * salt, which side b's replication is guaranteed to cover. Output is
     * identical to [[mbrJoin]] (spec-proven on a hotspot cloud); AQE's
     * skew split handles residual imbalance. Hot cells come from the hint
-    * (write-time stats — zero extra scans) or ONE histogram pass over
-    * side a's cover. */
+    * (write-time stats — zero extra scans) or one histogram pass over EACH
+    * side's cover (a b-only hot cell is real skew too). Mechanism
+    * asymmetry to know: salting splits a hot cell's a×b work product
+    * F ways, but the effective parallelism in a cell is bounded by the
+    * number of a rows there — pass the heavier side as `a`. */
   def mbrJoinSalted(a: DataFrame, b: DataFrame,
                     rOverride: Int = AutoRes, saltFactor: Int = 8,
                     hotThreshold: Double = 0.05,
                     hotCells: Option[(Int, Set[Long])] = None): DataFrame = {
-    // as in boxJoinSalted: a hint keyed at a different resolution would
-    // salt numerically-coincident but WRONG cells — the hint's r wins
-    require(hotCells.forall(h => rOverride < 0 || h._1 == rOverride),
-      s"hot-cell hint keyed at r=${hotCells.get._1} but rOverride=$rOverride")
+    validateSaltArgs(rOverride, saltFactor, hotCells)
     val r = hotCells.map(_._1).getOrElse(
       if (rOverride != AutoRes) rOverride else resolveRectRes(a, b))
     val ca = rectCover(a, "a", r)
     val cb = rectCover(b, "b", r)
-    val hot: Set[Long] = hotCells.map(_._2).getOrElse(hotCellsFromHistogram(
-      ca.groupBy(col("a_cell").as("cell")).agg(count(lit(1)).as("cnt")),
-      hotThreshold))
-    val (saltedA, saltedB) =
-      if (hot.isEmpty) (ca.withColumn("a_salt", lit(0)),
-                        cb.withColumn("b_salt", lit(0)))
-      else (
-        ca.withColumn("a_salt",
-          when(col("a_cell").isInCollection(hot),
-            pmod(xxhash64(col("a_id")), lit(saltFactor)).cast("int"))
-            .otherwise(lit(0))),
-        cb.select(col("*"), explode(
-          when(col("b_cell").isInCollection(hot),
-            sequence(lit(0), lit(saltFactor - 1)))
-            .otherwise(array(lit(0)))).as("b_salt")))
+    def coverHist(c: DataFrame, p: String) =
+      c.groupBy(col(s"${p}_cell").as("cell")).agg(count(lit(1)).as("cnt"))
+    val hot: Set[Long] = hotCells.map(_._2).getOrElse(
+      hotCellsFromHistogram(coverHist(ca, "a"), hotThreshold) ++
+        hotCellsFromHistogram(coverHist(cb, "b"), hotThreshold))
+    val saltedA = ca.withColumn("a_salt",
+      saltCol(col("a_id"), col("a_cell"), hot, saltFactor))
+    val saltedB =
+      if (hot.isEmpty) cb.withColumn("b_salt", lit(0))
+      else cb.select(col("*"), explode(
+        when(col("b_cell").isInCollection(hot),
+          sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))).as("b_salt"))
     saltedA.join(saltedB,
         col("a_cell") === col("b_cell") && col("a_salt") === col("b_salt"))
       .filter(rectOverlapAndRef(r))
       .select(col("a_id"), col("b_id"))
   }
+
+  /** Shared argument guard for the salted joins. A write-time hot-cell
+    * hint carries the resolution it was keyed at — cell ids from different
+    * resolutions coincide numerically, so a mismatched hint would salt
+    * random cells and skip the genuinely hot one: the hint's r WINS and
+    * must agree with an explicit rOverride. saltFactor < 1 would NULL the
+    * salt key (non-ANSI pmod) and silently drop every hot-cell pair; an
+    * out-of-range rOverride would feed CellId bit-shifts garbage. */
+  private def validateSaltArgs(rOverride: Int, saltFactor: Int,
+                               hotCells: Option[(Int, Set[Long])]): Unit = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    require(rOverride == AutoRes ||
+      (rOverride >= 0 && rOverride <= CellId.MaxRes),
+      s"rOverride must be AutoRes or in [0, ${CellId.MaxRes}], got $rOverride")
+    require(hotCells.forall(h => rOverride < 0 || h._1 == rOverride),
+      s"hot-cell hint keyed at r=${hotCells.get._1} but rOverride=$rOverride")
+  }
+
+  /** Deterministic per-row salt for the salted joins: hash bucket in hot
+    * cells, 0 in cold ones (no blowup off the hot set). */
+  private def saltCol(idCol: Column, cellCol: Column, hot: Set[Long],
+                      saltFactor: Int): Column =
+    if (hot.isEmpty) lit(0)
+    else when(cellCol.isInCollection(hot),
+      pmod(xxhash64(idCol), lit(saltFactor)).cast("int")).otherwise(lit(0))
 
   /** Adaptive grid pick for RECTANGLE-valued sides — the [[resolveRes]]
     * analog when the geometry lives in rows rather than plan literals.
@@ -593,13 +619,7 @@ object SpatialOps {
                     hotCells: Option[(Int, Set[Long])] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    // write-time hot cells carry the resolution they were keyed at — cell
-    // ids from different resolutions coincide numerically, so a mismatched
-    // hint would salt random cells and skip the genuinely hot one. The
-    // hint's resolution therefore WINS (and must agree with an explicit
-    // rOverride); only the hint-free path adapts.
-    require(hotCells.forall(h => rOverride < 0 || h._1 == rOverride),
-      s"hot-cell hint keyed at r=${hotCells.get._1} but rOverride=$rOverride")
+    validateSaltArgs(rOverride, saltFactor, hotCells)
     val r = hotCells.map(_._1)
       .getOrElse(resolveRes(points, boxes.map(_._2), rOverride))
     val pts = withCell(points, r)
@@ -617,10 +637,7 @@ object SpatialOps {
       }
     }.toDF("box_id", "bcell", "bsalt", "minlat", "minlon", "maxlat", "maxlon")
     val salted = pts.withColumn("salt",
-      if (hot.isEmpty) lit(0)
-      else when(col("cell").isInCollection(hot),
-        pmod(xxhash64(col("id")), lit(saltFactor)).cast("int"))
-        .otherwise(lit(0)))
+      saltCol(col("id"), col("cell"), hot, saltFactor))
     salted.join(cells,
         col("cell") === col("bcell") && col("salt") === col("bsalt"))
       .filter(col("lat") >= col("minlat") && col("lat") <= col("maxlat") &&
@@ -628,14 +645,18 @@ object SpatialOps {
       .select(col("box_id"), col("id"))
   }
 
-  /** Derive the salted-join hot-cell set from a persisted per-cell
-    * histogram (the [[tileHistogram]] output a stored table keeps next to
-    * its manifest) — the write-time stats path for [[boxJoinSalted]]. */
+  /** Derive the salted-join hot-cell set from a per-cell histogram (a
+    * persisted [[tileHistogram]] output, or a cover histogram built in the
+    * hint-free salted-join paths). The threshold filter runs IN SPARK —
+    * only the ≤ 1/hotThreshold hot cells ever reach the driver, never the
+    * full histogram (at fine resolutions that is up to 4^MaxRes rows).
+    * Costs two narrow aggregates over `hist`. */
   def hotCellsFromHistogram(hist: DataFrame, hotThreshold: Double = 0.05): Set[Long] = {
-    val rows = hist.select(col("cell"), col("cnt")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val total = rows.map(_._2).sum
-    rows.filter(_._2 > total * hotThreshold).map(_._1).toSet
+    val h = hist.select(col("cell"), col("cnt"))
+    val t = h.agg(sum(col("cnt"))).head()
+    if (t.isNullAt(0)) return Set.empty // empty histogram
+    h.filter(col("cnt") > lit(t.getLong(0) * hotThreshold))
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
   }
 
   /** kNN join (op #10 batched): small query set broadcast against the point

@@ -244,6 +244,20 @@ class SpatialOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SpatialOps.mbrJoinSalted(ra, rb, r + 1, hotCells = Some((r, Set(hotCell))))
     }
+    // saltFactor < 1 would NULL the salt key (non-ANSI pmod) and silently
+    // drop every hot-cell pair — refused up front
+    intercept[IllegalArgumentException] {
+      SpatialOps.mbrJoinSalted(ra, rb, saltFactor = 0)
+    }
+    // out-of-range resolutions feed CellId bit-shifts garbage — refused in
+    // both the salted and plain joins (negative non-sentinel AND too-fine)
+    intercept[IllegalArgumentException] { SpatialOps.mbrJoin(ra, rb, -2) }
+    intercept[IllegalArgumentException] {
+      SpatialOps.mbrJoinSalted(ra, rb, rOverride = graft.geo.CellId.MaxRes + 1)
+    }
+    // empty histogram → empty hot set (not an NPE on the null sum)
+    assert(SpatialOps.hotCellsFromHistogram(
+      SpatialOps.tileHistogram(skewed.filter(col("id").isNull), r)) == Set.empty)
     skewed.unpersist()
   }
 
