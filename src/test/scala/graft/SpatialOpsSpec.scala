@@ -435,7 +435,7 @@ class SpatialOpsSpec extends AnyFunSuite {
         (b, bla, blo) <- rows if a != b
         if (bla - ala) * (bla - ala) + (blo - alo) * (blo - alo) <= eps * eps
       } yield (a, b)
-      assert(counts(got) == counts(exp), s"eps=$eps")
+      assert(counts(got) == counts(exp.toSeq), s"eps=$eps")
       assert(exp.nonEmpty, s"fixture produced no pairs at eps=$eps")
     }
     // a coarse override must give identical output (r only prunes)
