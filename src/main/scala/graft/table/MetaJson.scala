@@ -157,20 +157,44 @@ object MetaJson {
     (o.get("curve").asText(), o.get("zRes").asInt(), o.get("histRes").asInt())
   }
 
+  // hist/index sidecars carry up to 4^histRes rows per unit — the ONE
+  // metadata payload where codec speed matters (every append serializes
+  // them, every fromStore/hotCells parses them). These four codecs use
+  // jackson's STREAMING generator/parser instead of the tree model (no
+  // per-value node allocation); the document format is unchanged and the
+  // tree-model parsers above still read the same files.
+
   def histJson(cells: Seq[(Long, Long)]): String = {
-    val root = mapper.createObjectNode()
-    val arr = root.putArray("cells")
+    val sw = new java.io.StringWriter(cells.size * 16 + 32)
+    val g = mapper.getFactory.createGenerator(sw)
+    g.writeStartObject()
+    g.writeArrayFieldStart("cells")
     cells.foreach { case (c, n) =>
-      val row = arr.addArray(); row.add(c); row.add(n)
+      g.writeStartArray(); g.writeNumber(c); g.writeNumber(n); g.writeEndArray()
     }
-    mapper.writeValueAsString(root)
+    g.writeEndArray()
+    g.writeEndObject()
+    g.close()
+    sw.toString
   }
 
   def parseHist(json: String): Seq[(Long, Long)] = {
-    val arr = mapper.readTree(json).get("cells").asInstanceOf[ArrayNode]
-    (0 until arr.size()).map { i =>
-      val row = arr.get(i); (row.get(0).asLong(), row.get(1).asLong())
-    }
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(json)
+    val out = Seq.newBuilder[(Long, Long)]
+    try {
+      // {"cells": [[c,n], ...]} — walk tokens, no tree
+      while (p.nextToken() != null && p.currentToken() != JsonToken.START_ARRAY) ()
+      var t = p.nextToken()
+      while (t == JsonToken.START_ARRAY) {
+        p.nextToken(); val c = p.getLongValue
+        p.nextToken(); val n = p.getLongValue
+        p.nextToken() // END_ARRAY of the row
+        out += ((c, n))
+        t = p.nextToken()
+      }
+    } finally p.close()
+    out.result()
   }
 
   def bloomJson(keyCol: String, k: Int, files: Seq[(String, Array[Long])]): String = {
@@ -198,33 +222,71 @@ object MetaJson {
 
   /** Per-file leaf slabs: (cell, cnt, minLat, maxLat, minLon, maxLon). */
   def indexJson(res: Int, files: Seq[(String, Seq[(Long, Long, Double, Double, Double, Double)])]): String = {
-    val root = mapper.createObjectNode()
-    root.put("res", res)
-    val arr = root.putArray("files")
+    val sw = new java.io.StringWriter(files.map(_._2.size).sum * 64 + 256)
+    val g = mapper.getFactory.createGenerator(sw)
+    g.writeStartObject()
+    g.writeNumberField("res", res)
+    g.writeArrayFieldStart("files")
     files.foreach { case (p, leaves) =>
-      val o = arr.addObject(); o.put("path", p)
-      val ls = o.putArray("leaves")
+      g.writeStartObject()
+      g.writeStringField("path", p)
+      g.writeArrayFieldStart("leaves")
       leaves.foreach { case (c, n, la0, la1, lo0, lo1) =>
-        val row = ls.addArray()
-        row.add(c); row.add(n); row.add(la0); row.add(la1); row.add(lo0); row.add(lo1)
+        g.writeStartArray()
+        g.writeNumber(c); g.writeNumber(n)
+        g.writeNumber(la0); g.writeNumber(la1)
+        g.writeNumber(lo0); g.writeNumber(lo1)
+        g.writeEndArray()
       }
+      g.writeEndArray()
+      g.writeEndObject()
     }
-    mapper.writeValueAsString(root)
+    g.writeEndArray()
+    g.writeEndObject()
+    g.close()
+    sw.toString
   }
 
   def parseIndex(json: String): (Int, Seq[(String, Seq[(Long, Long, Double, Double, Double, Double)])]) = {
-    val root = mapper.readTree(json)
-    val arr = root.get("files").asInstanceOf[ArrayNode]
-    val files = (0 until arr.size()).map { i =>
-      val o = arr.get(i)
-      val ls = o.get("leaves").asInstanceOf[ArrayNode]
-      val leaves = (0 until ls.size()).map { j =>
-        val row = ls.get(j)
-        (row.get(0).asLong(), row.get(1).asLong(), row.get(2).asDouble(),
-          row.get(3).asDouble(), row.get(4).asDouble(), row.get(5).asDouble())
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(json)
+    var res = 0
+    val files = Seq.newBuilder[(String, Seq[(Long, Long, Double, Double, Double, Double)])]
+    try {
+      // {"res": r, "files": [{"path": p, "leaves": [[...], ...]}, ...]}
+      p.nextToken() // START_OBJECT
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        p.currentName() match {
+          case "res" => p.nextToken(); res = p.getIntValue
+          case "files" =>
+            p.nextToken() // START_ARRAY
+            while (p.nextToken() == JsonToken.START_OBJECT) {
+              var path = ""
+              val leaves = Seq.newBuilder[(Long, Long, Double, Double, Double, Double)]
+              while (p.nextToken() == JsonToken.FIELD_NAME) {
+                p.currentName() match {
+                  case "path" => p.nextToken(); path = p.getText
+                  case "leaves" =>
+                    p.nextToken() // START_ARRAY
+                    while (p.nextToken() == JsonToken.START_ARRAY) {
+                      p.nextToken(); val c = p.getLongValue
+                      p.nextToken(); val n = p.getLongValue
+                      p.nextToken(); val la0 = p.getDoubleValue
+                      p.nextToken(); val la1 = p.getDoubleValue
+                      p.nextToken(); val lo0 = p.getDoubleValue
+                      p.nextToken(); val lo1 = p.getDoubleValue
+                      p.nextToken() // END_ARRAY of the row
+                      leaves += ((c, n, la0, la1, lo0, lo1))
+                    }
+                  case _ => p.nextToken(); p.skipChildren()
+                }
+              }
+              files += ((path, leaves.result()))
+            }
+          case _ => p.nextToken(); p.skipChildren()
+        }
       }
-      (o.get("path").asText(), leaves)
-    }
-    (root.get("res").asInt(), files)
+    } finally p.close()
+    (res, files.result())
   }
 }

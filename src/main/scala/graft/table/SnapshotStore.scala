@@ -79,7 +79,7 @@ private[table] final case class CommitLayout(
     inline: Seq[FileEntry])
 
 final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
-                          histRes: Int = 8,
+                          histRes: Int = SnapshotStore.DefaultHistRes,
                           bloomKey: Option[String] = None,
                           curve: String = "z",
                           manifestShardRows: Int = SnapshotStore.DefaultManifestShardRows) {
@@ -393,14 +393,28 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       else spark.sparkContext.defaultParallelism
     val unitDir = s"$root/data/$lineageId-${java.util.UUID.randomUUID().toString.take(8)}"
     val keyed = withCurveKey(df)
+    // NOTE (r6 optimization round, measured): repartitionByRange executes
+    // the child plan twice (range-sampling pass + shuffle map). Persisting
+    // `keyed` to cut the second derive was tried and REGRESSED every
+    // storage query ~1.5 s/append (the columnar cache encode/decode costs
+    // far more than the cheap scan+derive it saves) — the double scan is
+    // the right trade at every scale, exactly as Spark's own sort pays it.
     keyed
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
+    SnapshotStore.trace("append.write", t0)
+    val t1 = System.nanoTime()
     val entries = footerStats(unitDir, lineageId, wallMs, withZ = true)
+    SnapshotStore.trace("append.footer", t1)
+    val t2 = System.nanoTime()
     writeSidecars(unitDir, lineageId, entries, keyed.schema)
-    commitAppend(entries)
+    SnapshotStore.trace("append.sidecars", t2)
+    val t3 = System.nanoTime()
+    val snap = commitAppend(entries)
+    SnapshotStore.trace("append.commit", t3)
+    snap
   }
 
   /** Appends COMMUTE: the unit's data files and sidecars are already on
@@ -456,29 +470,65 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
                             schema: org.apache.spark.sql.types.StructType): Seq[java.nio.file.Path] = {
     if (entries.isEmpty) return Seq.empty
     import spark.implicits._
+    val tSc = System.nanoTime()
     // the writer's schema is passed in — inferring it would cost a
     // footer-sampling Spark job per append
     val raw = spark.read.schema(schema).parquet(unitDir)
     val key = bloomKey.filter(raw.columns.contains)
-    val bits = key.map(_ => Bloom.bitsFor(entries.map(_.rows).max)).getOrElse(0)
-    val agg = new UnitStatsAgg(bits)
-    // nulls → NaN: the typed encoder would throw on a null primitive, and
-    // the aggregator must still Bloom the row's key (skipping it would be
-    // a false negative); NaN coords are excluded from cell stats only
-    val latN = coalesce(col("lat"), lit(Double.NaN))
-    val lonN = coalesce(col("lon"), lit(Double.NaN))
-    val stats: Array[(String, FileStats)] = raw.select(
-        input_file_name().as("f"),
-        coalesce(GeoCols.cellCol(col("lat"), col("lon"), histRes), lit(0L)).as("cell"),
-        latN.as("lat"), lonN.as("lon"),
-        key.map(kc => xxhash64(col(kc))).getOrElse(lit(0L)).as("h"))
-      .as[(String, Long, Double, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4, t._5))
-      .agg(agg.toColumn.name("stats"))
-      .collect()
-    val byFile = stats.sortBy(_._1)
-      .map { case (f, fs) => (SnapshotStore.normalizePath(f), fs) }.toSeq
+    val byFile: Seq[(String, FileStats)] = key match {
+      case Some(_) =>
+        // Bloom-keyed store: the per-file bitsets need a distributed
+        // bitwise-OR aggregation whose buffers (512 KB bitsets, never row
+        // keys) cross the exchange — [[UnitStatsAgg]] is the scale-right
+        // shape for that and stays.
+        val bits = Bloom.bitsFor(entries.map(_.rows).max)
+        val agg = new UnitStatsAgg(bits)
+        // nulls → NaN: the typed encoder would throw on a null primitive,
+        // and the aggregator must still Bloom the row's key (skipping it
+        // would be a false negative); NaN coords excluded from cell stats
+        val latN = coalesce(col("lat"), lit(Double.NaN))
+        val lonN = coalesce(col("lon"), lit(Double.NaN))
+        raw.select(
+            input_file_name().as("f"),
+            coalesce(GeoCols.cellCol(col("lat"), col("lon"), histRes), lit(0L)).as("cell"),
+            latN.as("lat"), lonN.as("lon"),
+            xxhash64(col(key.get)).as("h"))
+          .as[(String, Long, Double, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3, t._4, t._5))
+          .agg(agg.toColumn.name("stats"))
+          .collect()
+          .sortBy(_._1)
+          .map { case (f, fs) => (SnapshotStore.normalizePath(f), fs) }.toSeq
+      case None =>
+        // No Bloom key (the common case): the stats are a plain per-(file,
+        // cell) count + min/max — a relational hash aggregate with
+        // map-side partial aggregation and whole-stage codegen, ~2× the
+        // typed groupByKey kernel's speed (every row previously crossed
+        // the Dataset encoder). NaN/null coords are excluded from leaf
+        // stats exactly as the typed path excluded them.
+        val grouped = raw.select(
+            input_file_name().as("f"),
+            coalesce(GeoCols.cellCol(col("lat"), col("lon"), histRes), lit(0L)).as("cell"),
+            col("lat"), col("lon"))
+          .filter(col("lat").isNotNull && col("lon").isNotNull &&
+            !isnan(col("lat")) && !isnan(col("lon")))
+          .groupBy(col("f"), col("cell"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("lat")).as("la0"), max(col("lat")).as("la1"),
+            min(col("lon")).as("lo0"), max(col("lon")).as("lo1"))
+          .collect()
+        grouped.groupBy(r => SnapshotStore.normalizePath(r.getString(0)))
+          .view.mapValues { rows =>
+            FileStats(Array.emptyLongArray,
+              rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+                r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+                .sortBy(_._1))
+          }
+          .toSeq.sortBy(_._1)
+    }
+    SnapshotStore.trace("sidecars.stats", tSc)
+    val tJson = System.nanoTime()
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val written = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     def put(dir: java.nio.file.Path, json: String): Unit = {
@@ -497,6 +547,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       put(bloomDir, MetaJson.bloomJson(kc, Bloom.K,
         byFile.map { case (f, fs) => (f, fs.bits) }))
     }
+    SnapshotStore.trace("sidecars.json", tJson)
     written.toSeq
   }
 
@@ -1346,6 +1397,28 @@ object SnapshotStore {
     * ManifestScaleBench / SnapshotStoreSpec). */
   val DefaultManifestShardRows: Int = 10000
 
+  /** Default sidecar stats grid (4^6 = 4096 cells). Was 8 (65,536 cells)
+    * through round 5; the r6 optimization round measured the per-append
+    * sidecar cost at histRes=8 on a globe-spanning unit — ~65k leaf slabs
+    * of ~9 rows each, 0.42 s of stats aggregation + 0.32 s of sidecar
+    * JSON per append, and a matching parse tax on every fromStore — and
+    * dropped the default one quadtree level per 16× unit-cell blowup.
+    * Correctness is res-invariant (every consumer treats the slabs as
+    * fail-open bounds: hotCells rolls up/expands, kNN seed radii only
+    * widen); tables that cluster tightly (files spanning few cells) can
+    * pin a finer grid per store — the ctor parameter is the knob and the
+    * value is validated against meta/table.json like every layout field. */
+  val DefaultHistRes: Int = 6
+
+  /** Opt-in phase tracing for the write path (guide §1 instrumentation):
+    * SPARK_GRAFT_TRACE=1 prints per-phase wall times to stderr. Zero cost
+    * when off. */
+  private val Tracing: Boolean = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+
+  private[table] def trace(name: String, t0: Long): Unit =
+    if (Tracing)
+      System.err.println(f"[trace] $name%-18s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
   /** `file:`-URI and plain-path spellings of the same file must compare
     * equal: manifest paths are Hadoop URIs (`file:/x`), `input_file_name`
     * yields `file:///x`. Sidecars persist the normalized form. */
@@ -1361,7 +1434,7 @@ object SnapshotStore {
     * would make the correct spelling fail validation forever while reads
     * silently drop rows. Refuses to overwrite an existing pin. */
   def pinLegacyLayout(root: String, curve: String, zRes: Int = 12,
-                      histRes: Int = 8): Unit = {
+                      histRes: Int = SnapshotStore.DefaultHistRes): Unit = {
     // validate BEFORE writing: pinning a typo'd curve would brick the
     // table (every open fails layout validation, and this method refuses
     // to overwrite) with no API-level recovery path

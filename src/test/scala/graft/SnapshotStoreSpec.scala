@@ -720,7 +720,8 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(liveHot(r).nonEmpty)
     assert(st.hotCells(r, 0.05) == liveHot(r))
     // at histRes: direct
-    assert(st.hotCells(8, 0.05) == liveHot(8))
+    assert(st.hotCells(SnapshotStore.DefaultHistRes, 0.05) ==
+      liveHot(SnapshotStore.DefaultHistRes))
     // finer than histRes: descendant expansion is a superset of truly hot
     assert(liveHot(10).subsetOf(st.hotCells(10, 0.05)))
     // the salted join fed by WRITE-TIME stats == the plain join (no
