@@ -359,11 +359,25 @@ object SpatialOps {
       if (rOverride != AutoRes) rOverride else resolveRectRes(a, b))
     val ca = rectCover(a, "a", r)
     val cb = rectCover(b, "b", r)
-    def coverHist(c: DataFrame, p: String) =
-      c.groupBy(col(s"${p}_cell").as("cell")).agg(count(lit(1)).as("cnt"))
-    val hot: Set[Long] = hotCells.map(_._2).getOrElse(
-      hotCellsFromHistogram(coverHist(ca, "a"), hotThreshold) ++
-        hotCellsFromHistogram(coverHist(cb, "b"), hotThreshold))
+    // Hint-free skew detection in ONE action (r6 optimization; the
+    // round-5 ADVICE flagged this path at ~3 cover scans per side):
+    // both sides' cover histograms ride one side-tagged union, each
+    // side's total comes from a per-side window over the (tiny, ≤2·4^r
+    // rows) histogram, and only the hot cells reach the driver. The
+    // per-side thresholds are exactly [[hotCellsFromHistogram]]'s
+    // semantics — a b-only hot cell is real skew too.
+    val hot: Set[Long] = hotCells.map(_._2).getOrElse {
+      val histBoth = ca.select(col("a_cell").as("cell"), lit(0).as("side"))
+        .unionAll(cb.select(col("b_cell").as("cell"), lit(1).as("side")))
+        .groupBy(col("side"), col("cell")).agg(count(lit(1)).as("cnt"))
+      // per-side totals as a broadcast 2-row aggregate joined back —
+      // distributed at any histogram size (no single-task window)
+      val tots = histBoth.groupBy(col("side")).agg(sum(col("cnt")).as("tot"))
+      histBoth.join(broadcast(tots), "side")
+        .filter(col("cnt") > col("tot") * lit(hotThreshold))
+        .select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
     val saltedA = ca.withColumn("a_salt",
       saltCol(col("a_id"), col("a_cell"), hot, saltFactor))
     val saltedB =
@@ -405,34 +419,40 @@ object SpatialOps {
 
   /** Adaptive grid pick for RECTANGLE-valued sides — the [[resolveRes]]
     * analog when the geometry lives in rows rather than plan literals.
-    * Because the edge distribution is data, the pick deliberately runs a
-    * bounded-sample narrow aggregate PER SIDE at plan-construction time
-    * (two tiny jobs — the one place the zero-action pick convention of
-    * [[estimateRows]] cannot apply; the join itself rescans everything, so
-    * the sample is negligible). Per-side sampling matters: a pooled
-    * `union.limit` sample reads rows in partition order and can see only
-    * one side. The pick is the finest r whose cell edge still covers the
+    * Because the edge distribution is data, the pick deliberately runs
+    * ONE narrow aggregate over a side-tagged union at plan-construction
+    * time (one tiny job — the one place the zero-action pick convention
+    * of [[estimateRows]] cannot apply; the join itself rescans
+    * everything, so the stats pass is negligible). Stats stay PER SIDE
+    * (grouped by the tag): a pooled sample would let one side's
+    * distribution mask the other's. The pick is the finest r whose cell edge still covers the
     * LARGER side's mean edge — replication blows up only when cell edge ≪
     * rect edge, so the coarser of the two per-side picks bounds
     * replication to ~4 cells/rect on BOTH sides (the smaller side's rects
     * land in ~1 cell; selectivity coarsens, exactness never — results are
     * r-invariant, spec-pinned). An outlier guard then coarsens until the
-    * sampled MAX edge covers ≤ [[MaxCoverCells]] cells, so one
+    * observed MAX edge covers ≤ [[MaxCoverCells]] cells, so one
     * near-world-spanning rect cannot explode the cover. */
   private[graft] def resolveRectRes(a: DataFrame, b: DataFrame): Int = {
-    // (meanLat, meanLon, maxLat, maxLon) edge stats of one side, or None
-    // when the side is empty
-    def sideStats(df: DataFrame): Option[(Double, Double, Double, Double)] = {
-      val s = df.select(
-          (col("maxlat") - col("minlat")).as("elat"),
-          (col("maxlon") - col("minlon")).as("elon"))
-        .limit(RectResSampleRows)
-        .agg(avg(col("elat")), avg(col("elon")),
-             max(col("elat")), max(col("elon"))).head()
-      if (s.isNullAt(0)) None
-      else Some((s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3)))
-    }
-    val stats = Seq(sideStats(a), sideStats(b)).flatten
+    // per-side (meanLat, meanLon, maxLat, maxLon) edge stats from ONE
+    // action: a side-tagged union aggregated by side. One narrow
+    // aggregate replaces the two per-side jobs of round 5 (each action's
+    // driver planning cost matched its execution at bench scale), and the
+    // max is now computed over the FULL side rather than a 65536-row
+    // partition-order prefix — the round-5 ADVICE blind spot where a
+    // world-spanning rect beyond the prefix escaped the outlier guard
+    // and exploded the 2-D sequence cover. Full-side narrow aggregates
+    // are negligible next to the join's own rescan (method doc above).
+    def edges(df: DataFrame, side: Int): DataFrame =
+      df.select(lit(side).as("side"),
+        (col("maxlat") - col("minlat")).as("elat"),
+        (col("maxlon") - col("minlon")).as("elon"))
+    val stats = edges(a, 0).unionAll(edges(b, 1))
+      .groupBy(col("side"))
+      .agg(avg(col("elat")), avg(col("elon")),
+        max(col("elat")), max(col("elon")))
+      .collect().toSeq
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     if (stats.isEmpty) return Fixtures.MbrJoinRes // both sides empty
     val eLat = math.max(stats.map(_._1).max, 1e-9)
     val eLon = math.max(stats.map(_._2).max, 1e-9)
@@ -451,9 +471,6 @@ object SpatialOps {
     r
   }
 
-  /** Per-side sample bound for [[resolveRectRes]]: enough rows that the
-    * mean edge is stable, few enough that each pick job stays tiny. */
-  private val RectResSampleRows = 65536
 
   /** Point-in-polygon join (north-rule op): per-polygon covering-cell prune
     * + even–odd ray-crossing refine, all as codegen'd Column predicates
@@ -647,15 +664,24 @@ object SpatialOps {
 
   /** Derive the salted-join hot-cell set from a per-cell histogram (a
     * persisted [[tileHistogram]] output, or a cover histogram built in the
-    * hint-free salted-join paths). The threshold filter runs IN SPARK —
-    * only the ≤ 1/hotThreshold hot cells ever reach the driver, never the
-    * full histogram (at fine resolutions that is up to 4^MaxRes rows).
-    * Costs two narrow aggregates over `hist`. */
+    * hint-free salted-join paths). Schema contract: `cell` must be LongType
+    * and `cnt` any numeric type (explicitly cast to long for the total, so
+    * a double-counted histogram degrades to truncation, never a cast
+    * error). The threshold filter runs IN SPARK — only the ≤ 1/hotThreshold
+    * hot cells ever reach the driver, never the full histogram (at fine
+    * resolutions that is up to 4^MaxRes rows) — and the total rides a
+    * window over the aggregated histogram, so the whole derivation is ONE
+    * action (it was two narrow aggregates through round 5; each action's
+    * driver-side planning cost matched its execution at bench scale). */
   def hotCellsFromHistogram(hist: DataFrame, hotThreshold: Double = 0.05): Set[Long] = {
-    val h = hist.select(col("cell"), col("cnt"))
-    val t = h.agg(sum(col("cnt"))).head()
-    if (t.isNullAt(0)) return Set.empty // empty histogram
-    h.filter(col("cnt") > lit(t.getLong(0) * hotThreshold))
+    val h = hist.select(col("cell"), col("cnt").cast("long").as("cnt"))
+    // total as a broadcast 1-row aggregate joined back — distributed at
+    // any histogram size (a global window would funnel the histogram
+    // through one task); an empty histogram yields tot = null, the
+    // comparison is null ⇒ no row survives ⇒ empty set
+    val tot = h.agg(sum(col("cnt")).as("tot"))
+    h.crossJoin(broadcast(tot))
+      .filter(col("cnt") > col("tot") * lit(hotThreshold))
       .select(col("cell")).collect().map(_.getLong(0)).toSet
   }
 
@@ -704,30 +730,79 @@ object SpatialOps {
       .select(col("poly_id"), col("id"))
   }
 
-  /** kNN join via the bounded-heap aggregator ([[TopKAgg]]): broadcast the
-    * query set, but instead of ranking |Q|·N shuffled rows with a window,
-    * partially aggregate each partition down to k candidates per query
-    * before the exchange — the shuffle carries |Q|·k·partitions rows.
-    * Identical output to [[knnJoin]] (proven in spec); ~5× faster on the
-    * dense benchmark. */
+  /** Dense kNN join (the documented baseline): every |Q|·N distance is
+    * computed, reduced to k candidates per query per partition BEFORE the
+    * exchange, exact global top-k after — the shuffle carries at most
+    * |Q|·k·partitions rows.
+    *
+    * Kernel form (r6 optimization, measured): the round-4 bounded-heap Aggregator
+    * formulation materialized the |Q|·N crossJoin and pushed every pair
+    * through the Dataset encoder into a typed ObjectHashAggregate —
+    * 4.2 s for 7.2M pairs at sf0.1. This per-partition primitive loop
+    * computes the same distances over decoded (id, lat, lon) rows into
+    * flat per-query bounded arrays (the partial top-k), then ranks the
+    * ≤ |Q|·k·partitions survivors with one tiny window — identical
+    * output (same (d2, id) ordering; spec-pinned vs the window plan). */
   def knnJoinAgg(points: DataFrame, queries: Seq[(Int, Double, Double)],
                  k: Int): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val q = queries.toDF("q_id", "qlat", "qlon")
-    val agg = new TopKAgg(k)
-    points.crossJoin(broadcast(q))
-      .select(col("q_id").as("_1"),
-        struct(GeoCols.d2Cols(col("lat"), col("lon"), col("qlat"), col("qlon"))
-          .as("_1"), col("id").as("_2")).as("_2"))
-      .as[(Int, (Double, Long))]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.toColumn.name("topk"))
-      .flatMap { case (qid, topk) =>
-        topk.iterator.zipWithIndex.map { case ((_, id), i) => (qid, (i + 1).toLong, id) }
+    val qIds = queries.map(_._1).toArray
+    val qLat = queries.map(_._2).toArray
+    val qLon = queries.map(_._3).toArray
+    val partials = points.select(col("id"), col("lat"), col("lon"))
+      .as[(Long, Double, Double)]
+      .mapPartitions { it =>
+        val nq = qIds.length
+        // per-query k slots, flat: candidate replaces the cached worst
+        // only when strictly better by (d2, id) — O(1) reject, O(k)
+        // worst-rescan only on accept (accepts are O(k·log N) per query)
+        val d2s = Array.fill(nq * k)(Double.MaxValue)
+        val ids = Array.fill(nq * k)(Long.MaxValue)
+        val size = new Array[Int](nq)
+        val worst = new Array[Int](nq)
+        def recomputeWorst(q: Int): Unit = {
+          var w = q * k
+          var i = w + 1
+          while (i < q * k + k) {
+            if (d2s(i) > d2s(w) || (d2s(i) == d2s(w) && ids(i) > ids(w))) w = i
+            i += 1
+          }
+          worst(q) = w
+        }
+        it.foreach { case (id, la, lo) =>
+          var q = 0
+          while (q < nq) {
+            val dla = la - qLat(q)
+            val dlo = lo - qLon(q)
+            val d2 = dla * dla + dlo * dlo
+            if (size(q) < k) {
+              val slot = q * k + size(q)
+              d2s(slot) = d2; ids(slot) = id
+              size(q) += 1
+              if (size(q) == k) recomputeWorst(q)
+            } else {
+              val w = worst(q)
+              if (d2 < d2s(w) || (d2 == d2s(w) && id < ids(w))) {
+                d2s(w) = d2; ids(w) = id
+                recomputeWorst(q)
+              }
+            }
+            q += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { q =>
+          (0 until size(q)).iterator.map { i =>
+            (qIds(q), d2s(q * k + i), ids(q * k + i))
+          }
+        }
       }
-      .toDF("q_id", "rank", "id")
+      .toDF("q_id", "d2", "id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"))
   }
 
   /** Ring-pruned kNN join (the scale path for large query sets): instead

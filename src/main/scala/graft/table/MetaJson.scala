@@ -198,26 +198,63 @@ object MetaJson {
   }
 
   def bloomJson(keyCol: String, k: Int, files: Seq[(String, Array[Long])]): String = {
-    val root = mapper.createObjectNode()
-    root.put("keyCol", keyCol); root.put("k", k)
-    val arr = root.putArray("files")
+    val sw = new java.io.StringWriter(files.map(_._2.length).sum * 12 + 256)
+    val g = mapper.getFactory.createGenerator(sw)
+    g.writeStartObject()
+    g.writeStringField("keyCol", keyCol)
+    g.writeNumberField("k", k)
+    g.writeArrayFieldStart("files")
     files.foreach { case (p, bits) =>
-      val o = arr.addObject(); o.put("path", p)
-      val b = o.putArray("bits"); bits.foreach(b.add)
+      g.writeStartObject()
+      g.writeStringField("path", p)
+      g.writeArrayFieldStart("bits")
+      var i = 0
+      while (i < bits.length) { g.writeNumber(bits(i)); i += 1 }
+      g.writeEndArray()
+      g.writeEndObject()
     }
-    mapper.writeValueAsString(root)
+    g.writeEndArray()
+    g.writeEndObject()
+    g.close()
+    sw.toString
   }
 
   /** (keyCol, k, path → bits). */
   def parseBloom(json: String): (String, Int, Seq[(String, Array[Long])]) = {
-    val root = mapper.readTree(json)
-    val arr = root.get("files").asInstanceOf[ArrayNode]
-    val files = (0 until arr.size()).map { i =>
-      val o = arr.get(i)
-      val bs = o.get("bits").asInstanceOf[ArrayNode]
-      (o.get("path").asText(), Array.tabulate(bs.size())(j => bs.get(j).asLong()))
-    }
-    (root.get("keyCol").asText(), root.get("k").asInt(), files)
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(json)
+    var keyCol = ""
+    var k = 0
+    val files = Seq.newBuilder[(String, Array[Long])]
+    try {
+      p.nextToken() // START_OBJECT
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        p.currentName() match {
+          case "keyCol" => p.nextToken(); keyCol = p.getText
+          case "k" => p.nextToken(); k = p.getIntValue
+          case "files" =>
+            p.nextToken() // START_ARRAY
+            while (p.nextToken() == JsonToken.START_OBJECT) {
+              var path = ""
+              var bits = Array.emptyLongArray
+              while (p.nextToken() == JsonToken.FIELD_NAME) {
+                p.currentName() match {
+                  case "path" => p.nextToken(); path = p.getText
+                  case "bits" =>
+                    p.nextToken() // START_ARRAY
+                    val buf = new scala.collection.mutable.ArrayBuffer[Long](1024)
+                    while (p.nextToken() != JsonToken.END_ARRAY) buf += p.getLongValue
+                    bits = buf.toArray
+                  case _ => p.nextToken(); p.skipChildren()
+                }
+              }
+              files += ((path, bits))
+            }
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+    } finally p.close()
+    (keyCol, k, files.result())
   }
 
   /** Per-file leaf slabs: (cell, cnt, minLat, maxLat, minLon, maxLon). */

@@ -476,8 +476,41 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val raw = spark.read.schema(schema).parquet(unitDir)
     val key = bloomKey.filter(raw.columns.contains)
     val byFile: Seq[(String, FileStats)] = key match {
+      case Some(kc) if entries.map(_.rows).sum <= SnapshotStore.BloomCollectRowsCutoff =>
+        // Small-unit Bloom path (micro-batch commits, bench-scale units):
+        // ONE relational pass — the per-(file, cell) leaf aggregate also
+        // collects the group's key hashes, and the driver folds them into
+        // per-file bitsets (bounded: ≤ cutoff × 8 B of hashes total). The
+        // cell is NULLed for NaN/null coords so those rows' hashes still
+        // reach the filter (dropping one would be a false negative) while
+        // their group is excluded from the leaf stats, exactly the typed
+        // aggregator's semantics.
+        val bits = Bloom.bitsFor(entries.map(_.rows).max)
+        val cellOrNull = when(col("lat").isNull || col("lon").isNull ||
+            isnan(col("lat")) || isnan(col("lon")), lit(null))
+          .otherwise(coalesce(GeoCols.cellCol(col("lat"), col("lon"), histRes), lit(0L)))
+        val grouped = raw.select(
+            input_file_name().as("f"), cellOrNull.as("cell"),
+            col("lat"), col("lon"), xxhash64(col(kc)).as("h"))
+          .groupBy(col("f"), col("cell"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("lat")).as("la0"), max(col("lat")).as("la1"),
+            min(col("lon")).as("lo0"), max(col("lon")).as("lo1"),
+            collect_list(col("h")).as("hs"))
+          .collect()
+        grouped.groupBy(r => SnapshotStore.normalizePath(r.getString(0)))
+          .view.mapValues { rows =>
+            val bs = new Array[Long](bits / 64)
+            rows.foreach(_.getSeq[Long](7).foreach(Bloom.add(bs, _)))
+            FileStats(bs,
+              rows.filter(!_.isNullAt(1))
+                .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+                  r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+                .sortBy(_._1))
+          }
+          .toSeq.sortBy(_._1)
       case Some(_) =>
-        // Bloom-keyed store: the per-file bitsets need a distributed
+        // Large-unit Bloom path: the per-file bitsets need a distributed
         // bitwise-OR aggregation whose buffers (512 KB bitsets, never row
         // keys) cross the exchange — [[UnitStatsAgg]] is the scale-right
         // shape for that and stays.
@@ -1409,6 +1442,13 @@ object SnapshotStore {
     * pin a finer grid per store — the ctor parameter is the knob and the
     * value is validated against meta/table.json like every layout field. */
   val DefaultHistRes: Int = 6
+
+  /** Unit-size ceiling (total rows) for the single-pass relational Bloom
+    * build in [[SnapshotStore.writeSidecars]]: under it, collecting the
+    * raw key hashes to the driver (≤ 16 MB at the cutoff) beats a typed
+    * bitset aggregation per measured append; over it, the distributed
+    * [[UnitStatsAgg]] bitwise-OR keeps driver traffic at 512 KB/file. */
+  val BloomCollectRowsCutoff: Long = 1L << 21
 
   /** Opt-in phase tracing for the write path (guide §1 instrumentation):
     * SPARK_GRAFT_TRACE=1 prints per-phase wall times to stderr. Zero cost
