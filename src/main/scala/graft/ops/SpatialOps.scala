@@ -497,20 +497,31 @@ object SpatialOps {
 
   /** Point-in-polygon join (north-rule op): per-polygon covering-cell prune
     * + even–odd ray-crossing refine, all as codegen'd Column predicates
-    * (GeoCols.stContains). Polygons are plan literals → the whole join is a
-    * union of pushed-down filters: zero shuffles, zero broadcast state. */
+    * (GeoCols.stContains). Polygons are plan literals → zero shuffles,
+    * zero broadcast state, and — r6 optimization — ONE scan of the corpus
+    * regardless of polygon count: each row evaluates every polygon's
+    * (cover-membership AND ray-crossing) test lazily inside one
+    * projection and explodes to the matching poly ids (guide §1.2: the
+    * round-1 union-of-branches form re-scanned the corpus once PER
+    * polygon — same per-row predicate work, p× the I/O). Row sets are
+    * identical (spec + shared oracle); plans with MANY literal polygons
+    * belong on [[pipJoinBroadcast]] either way (also the codegen-size
+    * story: one projection carries all polys' edge tests). */
   def pipJoin(points: DataFrame, polys: Seq[(Int, Poly)],
               rOverride: Int = AutoRes): DataFrame = {
     val r = resolveRes(points, polys.map(_._2.bbox), rOverride)
     val cellPts = withCell(points, r)
-    polys.map { case (pid, p) =>
+    val hits = polys.map { case (pid, p) =>
       val cover = CellId.coverPoly(p, r) // exact cover: notch cells pruned
       val pruned =
-        if (cover.size <= MaxCoverCells) cellPts.filter(col("cell").isin(cover: _*))
-        else cellPts
-      pruned.filter(GeoCols.stContains(p, col("lat"), col("lon")))
-        .select(lit(pid).as("poly_id"), col("id"))
-    }.reduce(_ unionAll _)
+        if (cover.size <= MaxCoverCells) col("cell").isin(cover: _*)
+        else lit(true)
+      when(pruned && GeoCols.stContains(p, col("lat"), col("lon")), lit(pid))
+    }
+    cellPts
+      .select(explode(array(hits: _*)).as("poly_id"), col("id"))
+      .filter(col("poly_id").isNotNull)
+      .select(col("poly_id"), col("id"))
   }
 
   /** Polygon rasterization (vector→raster — the inverse of [[tileAssign]],
@@ -601,20 +612,36 @@ object SpatialOps {
     * with cnt=0 and null extrema, matching the SQL aggregate contract). */
   def zonalStats(points: DataFrame, polys: Seq[(Int, Poly)],
                  rOverride: Int = AutoRes): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
     val r = resolveRes(points, polys.map(_._2.bbox), rOverride)
     val cellPts = withCell(points, r)
-    polys.map { case (pid, p) =>
+    // ONE scan for every polygon (r6, same fusion as [[pipJoin]]): the
+    // matching poly ids explode out of one lazily-evaluated projection
+    // and collapse in a partial+final hash aggregate — the exchange still
+    // carries one row per polygon per partition. The tiny literal polygon
+    // list left-joins back so empty zones keep their cnt=0/null-extrema
+    // row (the SQL aggregate contract the per-branch form gave for free).
+    val hits = polys.map { case (pid, p) =>
       val cover = CellId.coverPoly(p, r)
       val pruned =
-        if (cover.size <= MaxCoverCells) cellPts.filter(col("cell").isin(cover: _*))
-        else cellPts
-      pruned.filter(GeoCols.stContains(p, col("lat"), col("lon")))
-        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"),
-          min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
-          min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"))
-        .select(lit(pid).as("poly_id"), col("cnt"), col("sum_id"),
-          col("min_lat"), col("max_lat"), col("min_lon"), col("max_lon"))
-    }.reduce(_ unionAll _)
+        if (cover.size <= MaxCoverCells) col("cell").isin(cover: _*)
+        else lit(true)
+      when(pruned && GeoCols.stContains(p, col("lat"), col("lon")), lit(pid))
+    }
+    val agged = cellPts
+      .select(explode(array(hits: _*)).as("poly_id"), col("id"),
+        col("lat"), col("lon"))
+      .filter(col("poly_id").isNotNull)
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"),
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+        min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"))
+    polys.map(_._1).toDF("poly_id")
+      .join(broadcast(agged), Seq("poly_id"), "left")
+      .select(col("poly_id"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("sum_id"), col("min_lat"), col("max_lat"),
+        col("min_lon"), col("max_lon"))
   }
 
   /** Many-polygon zonal statistics (the [[pipJoinBroadcast]]-shaped scale

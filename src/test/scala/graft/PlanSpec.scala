@@ -67,10 +67,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "box join must not sort-merge")
   }
 
-  test("pipJoin is a union of filters: no join, no exchange") {
+  test("pipJoin is one fused scan: no join, no exchange, single source read") {
     val p = plan(SpatialOps.pipJoin(Points(spark, dir), Fixtures.polys))
-    assert(!p.toLowerCase.contains("join"), "PIP with literal polygons must be pure filters")
+    assert(!p.toLowerCase.contains("join"), "PIP with literal polygons must be pure predicates")
     assert(!p.contains("Exchange"), "PIP must not shuffle")
+    // r6: the union-of-branches form re-scanned the corpus once per
+    // polygon; the fused explode form must read it exactly once
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"PIP must scan the corpus once, not per polygon: ${p.take(400)}")
   }
 
   test("tileAssign is shuffle-free; histogram has exactly one exchange") {
