@@ -385,10 +385,10 @@ object SpatialOps {
     // Hint-free skew detection in ONE action (r6 optimization; the
     // round-5 ADVICE flagged this path at ~3 cover scans per side):
     // both sides' cover histograms ride one side-tagged union, each
-    // side's total comes from a per-side window over the (tiny, ≤2·4^r
-    // rows) histogram, and only the hot cells reach the driver. The
-    // per-side thresholds are exactly [[hotCellsFromHistogram]]'s
-    // semantics — a b-only hot cell is real skew too.
+    // side's total joins back as a broadcast 2-row aggregate, and only
+    // the hot cells reach the driver. The per-side thresholds are
+    // exactly [[hotCellsFromHistogram]]'s semantics — a b-only hot cell
+    // is real skew too.
     val hot: Set[Long] = hotCells.map(_._2).getOrElse {
       val histBoth = ca.select(col("a_cell").as("cell"), lit(0).as("side"))
         .unionAll(cb.select(col("b_cell").as("cell"), lit(1).as("side")))
@@ -719,8 +719,8 @@ object SpatialOps {
     * a double-counted histogram degrades to truncation, never a cast
     * error). The threshold filter runs IN SPARK — only the ≤ 1/hotThreshold
     * hot cells ever reach the driver, never the full histogram (at fine
-    * resolutions that is up to 4^MaxRes rows) — and the total rides a
-    * window over the aggregated histogram, so the whole derivation is ONE
+    * resolutions that is up to 4^MaxRes rows) — and the total joins back
+    * as a broadcast 1-row aggregate, so the whole derivation is ONE
     * action (it was two narrow aggregates through round 5; each action's
     * driver-side planning cost matched its execution at bench scale). */
   def hotCellsFromHistogram(hist: DataFrame, hotThreshold: Double = 0.05): Set[Long] = {

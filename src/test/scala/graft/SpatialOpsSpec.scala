@@ -562,4 +562,38 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(SpatialOps.zonalStats(pts, empty).collect().map(_.getLong(1)).toSeq == Seq(0L))
     assert(SpatialOps.zonalStatsMany(pts, empty).isEmpty)
   }
+
+  test("rect-res outlier guard sees the FULL side (r6: no sample-prefix blind spot)") {
+    import spark.implicits._
+    // 70k tiny rects followed by ONE world-spanning outlier in the LAST
+    // row: the round-5 pick sampled a 65536-row partition-order prefix,
+    // so an outlier past it escaped the max-edge guard and the 2-D
+    // sequence cover could explode; the full-side aggregate must coarsen
+    // regardless of the outlier's position
+    val tiny = Seq.tabulate(70000) { i =>
+      val la = -80.0 + (i % 160); val lo = -170.0 + (i % 340)
+      (i.toLong, la, lo, la + 0.5, lo + 0.5)
+    }
+    val world = Seq((99999L, -89.0, -179.0, 89.0, 179.0))
+    val a = (tiny ++ world).toDF("id", "minlat", "minlon", "maxlat", "maxlon")
+      .coalesce(1) // single partition: the outlier IS past any prefix
+    val b = Seq((1L, 10.0, 10.0, 11.0, 11.0))
+      .toDF("id", "minlat", "minlon", "maxlat", "maxlon")
+    val r = SpatialOps.resolveRectRes(a, b)
+    // without the guard the 0.5-degree mean edge picks r=7; the world
+    // rect must coarsen the pick until its cover fits MaxCoverCells
+    assert(r <= 5, s"world-spanning outlier in the last row escaped the guard: r=$r")
+  }
+
+  test("hotCellsFromHistogram: numeric (non-long) cnt obeys the documented contract") {
+    import spark.implicits._
+    // double-typed counts (e.g. a histogram scaled by a weight): the
+    // explicit long cast must threshold, not ClassCastException (round-5
+    // ADVICE item); 96 of 100 mass on cell 7 -> only cell 7 is hot
+    val hist = Seq((7L, 96.0), (8L, 2.0), (9L, 2.0)).toDF("cell", "cnt")
+    assert(SpatialOps.hotCellsFromHistogram(hist, 0.05) == Set(7L))
+    // and an all-zero histogram yields the empty set, not a null failure
+    val zeros = Seq((1L, 0.0)).toDF("cell", "cnt")
+    assert(SpatialOps.hotCellsFromHistogram(zeros, 0.05) == Set.empty)
+  }
 }
