@@ -222,9 +222,10 @@ object AnnOps {
       .withColumn("cnrm", norm(col("cv")))
     val (e, cent) = stagePaths match {
       case Some((pv, pc)) =>
-        e0.select(col("vec_id"), col("v"), col("nrm"), col("list"))
-          .write.mode("overwrite").parquet(pv)
-        cent0.write.mode("overwrite").parquet(pc)
+        org.apache.spark.sql.GraftParquetDirect.write(
+          e0.select(col("vec_id"), col("v"), col("nrm"), col("list")),
+          pv, overwrite = true)
+        org.apache.spark.sql.GraftParquetDirect.write(cent0, pc, overwrite = true)
         (spark.read.parquet(pv), spark.read.parquet(pc))
       case None => (e0, cent0)
     }

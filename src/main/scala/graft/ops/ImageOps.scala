@@ -100,7 +100,8 @@ object ImageOps {
       // checkpoint the (image_id, phash) metadata slice so the blocking
       // join + refine dataflow is DuckDB-oracle-checked (q43); bytes never
       // touch the staging either
-      images.select("image_id", "phash").write.mode("overwrite").parquet(p)
+      org.apache.spark.sql.GraftParquetDirect.write(
+        images.select("image_id", "phash"), p, overwrite = true)
       Dedup.hammingBlockPairs(images.sparkSession.read.parquet(p),
         "image_id", "phash", maxHamming, blocks)
     case None =>

@@ -32,7 +32,11 @@ private[graft] object OpUtil {
                                     stagePath: Option[String]): DataFrame =
     stagePath match {
       case Some(p) =>
-        df.write.mode("overwrite").parquet(p)
+        // committer-free write (same parquet bits, ~0.2 s less fixed
+        // driver cost per staging checkpoint — measured, WriteFloorProbe);
+        // the staging dir is transient and re-read immediately, so the
+        // Hadoop commit protocol's directory atomicity buys nothing
+        org.apache.spark.sql.GraftParquetDirect.write(df, p, overwrite = true)
         df.sparkSession.read.parquet(p)
       case None =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

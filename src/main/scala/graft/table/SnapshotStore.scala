@@ -205,14 +205,21 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     * entirely), the entry records the full domain range so the file is
     * never pruned — a narrowed range would silently drop rows from
     * read(box), violating the superset contract. */
+  /** `only`: the file names a direct write ([[org.apache.spark.sql.GraftParquetDirect]])
+    * reported from its SUCCESSFUL tasks — a failed or speculatively re-run
+    * attempt may orphan a partial file in the unit dir, and filtering the
+    * listing to the reported names keeps such orphans out of the manifest
+    * (readers never list dirs; they open manifest paths). */
   private def footerStats(unitDir: String, lineageId: String, wallMs: Long,
-                          withZ: Boolean, kind: String = "data"): Seq[FileEntry] = {
+                          withZ: Boolean, kind: String = "data",
+                          only: Option[Set[String]] = None): Seq[FileEntry] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(unitDir)
     val fs = dir.getFileSystem(conf)
     fs.listStatus(dir).filter(f => f.getPath.getName.startsWith("part-"))
+      .filter(f => only.forall(_.contains(f.getPath.getName)))
       .sortBy(_.getPath.getName).toSeq.map { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try {
@@ -399,14 +406,19 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // storage query ~1.5 s/append (the columnar cache encode/decode costs
     // far more than the cheap scan+derive it saves) — the double scan is
     // the right trade at every scale, exactly as Spark's own sort pays it.
-    keyed
-      .repartitionByRange(parts, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
+    // Committer-free direct write (same ParquetWriteSupport bits): the
+    // manifest commit below is the atomicity point, so the Hadoop commit
+    // protocol's ~0.2 s/invocation driver floor buys nothing here.
+    val written = org.apache.spark.sql.GraftParquetDirect.write(
+      keyed
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions(col("__z")),
+      unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     SnapshotStore.trace("append.write", t0)
     val t1 = System.nanoTime()
-    val entries = footerStats(unitDir, lineageId, wallMs, withZ = true)
+    val entries = footerStats(unitDir, lineageId, wallMs, withZ = true,
+      only = Some(written.map(_._1).toSet))
     SnapshotStore.trace("append.footer", t1)
     val t2 = System.nanoTime()
     writeSidecars(unitDir, lineageId, entries, keyed.schema)
@@ -472,8 +484,10 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     import spark.implicits._
     val tSc = System.nanoTime()
     // the writer's schema is passed in — inferring it would cost a
-    // footer-sampling Spark job per append
-    val raw = spark.read.schema(schema).parquet(unitDir)
+    // footer-sampling Spark job per append; the read targets the ENTRIES'
+    // paths, not the dir listing, so an orphan partial file from a failed
+    // direct-write attempt can never leak into the stats
+    val raw = spark.read.schema(schema).parquet(entries.map(_.path): _*)
     val key = bloomKey.filter(raw.columns.contains)
     val byFile: Seq[(String, FileStats)] = key match {
       case Some(kc) if entries.map(_.rows).sum <= SnapshotStore.BloomCollectRowsCutoff =>
@@ -1195,11 +1209,12 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         .map(_.name).toSeq
     require(keys.nonEmpty, "equality delete needs at least one non-binary key column")
     val unitDir = s"$root/data/$lineageId-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.filter(cond).select(keys.map(col): _*)
-      .coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
+    val written = org.apache.spark.sql.GraftParquetDirect.write(
+      df.filter(cond).select(keys.map(col): _*).coalesce(1),
+      unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    commit(footerStats(unitDir, lineageId, wallMs, withZ = false, kind = "delete"))
+    commit(footerStats(unitDir, lineageId, wallMs, withZ = false, kind = "delete",
+      only = Some(written.map(_._1).toSet)))
   }
 
   /** Compaction — the distributed analog of the reference's forced-
@@ -1233,13 +1248,15 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val unitDir = s"$root/data/compact-${base + 1}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val keyed = withCurveKey(df)
-    keyed
-      .repartitionByRange(parts, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(unitDir)
+    val written = org.apache.spark.sql.GraftParquetDirect.write(
+      keyed
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions(col("__z")),
+      unitDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val lineage = s"compact-${base + 1}"
-    val stats = footerStats(unitDir, lineage, wallMs, withZ = true)
+    val stats = footerStats(unitDir, lineage, wallMs, withZ = true,
+      only = Some(written.map(_._1).toSet))
     // replacing commit: new manifest = compacted entries + the BASE
     // manifest's lineage ids as zero-file markers so resumableRun still
     // skips them (read from `base`, not the live pointer — a racer's
