@@ -406,28 +406,115 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // storage query ~1.5 s/append (the columnar cache encode/decode costs
     // far more than the cheap scan+derive it saves) — the double scan is
     // the right trade at every scale, exactly as Spark's own sort pays it.
-    // Committer-free direct write (same ParquetWriteSupport bits): the
-    // manifest commit below is the atomicity point, so the Hadoop commit
-    // protocol's ~0.2 s/invocation driver floor buys nothing here.
-    val written = org.apache.spark.sql.GraftParquetDirect.write(
+    // Committer-free direct write (same ParquetWriteSupport bits) with
+    // the unit stats computed IN the write tasks — one job where the
+    // round-5 protocol ran write + footer read + a relational stats
+    // pass. The manifest commit below is the atomicity point, so the
+    // Hadoop commit protocol's ~0.2 s/invocation driver floor buys
+    // nothing here.
+    val uw = writeUnitFiles(
       keyed
         .repartitionByRange(parts, col("__z"))
         .sortWithinPartitions(col("__z")),
-      unitDir)
-    val wallMs = (System.nanoTime() - t0) / 1000000
-    SnapshotStore.trace("append.write", t0)
-    val t1 = System.nanoTime()
-    val entries = footerStats(unitDir, lineageId, wallMs, withZ = true,
-      only = Some(written.map(_._1).toSet))
-    SnapshotStore.trace("append.footer", t1)
+      unitDir, lineageId, t0)
     val t2 = System.nanoTime()
-    writeSidecars(unitDir, lineageId, entries, keyed.schema)
+    writeUnitSidecars(uw, unitDir, lineageId)
     SnapshotStore.trace("append.sidecars", t2)
     val t3 = System.nanoTime()
-    val snap = commitAppend(entries)
+    val snap = commitAppend(uw.entries)
     SnapshotStore.trace("append.commit", t3)
     snap
   }
+
+  /** One clustered-unit write: the direct parquet job with
+    * [[UnitTaskStats]] observers threaded through each task, yielding
+    * manifest entries (exact per-file `__z`/lat/lon bounds, fail-open on
+    * NaN or all-null like the footer-stats contract) and the sidecar
+    * inputs with ZERO further passes over the unit. Schemas outside the
+    * observer's preconditions (non-double coords, non-long `__z` or Bloom
+    * key) and Bloom units past [[SnapshotStore.BloomCollectRowsCutoff]]
+    * fall back to the round-5 two-pass protocol (footer read + relational
+    * stats aggregate — `byFile = None` routes [[writeUnitSidecars]]
+    * there), so the scale path for huge Bloom-keyed units is unchanged. */
+  private case class UnitWrite(entries: Seq[FileEntry],
+                               byFile: Option[Seq[(String, FileStats)]],
+                               bloomCol: Option[String],
+                               schema: org.apache.spark.sql.types.StructType)
+
+  private def writeUnitFiles(clustered: DataFrame, unitDir: String,
+                             lineageId: String, t0: Long): UnitWrite = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val schema = clustered.schema
+    val names = schema.fieldNames
+    val latOrd = names.indexOf("lat")
+    val lonOrd = names.indexOf("lon")
+    val zOrd = names.indexOf("__z")
+    val keyOrd = bloomKey.map(names.indexOf(_)).getOrElse(-1)
+    val fastOk =
+      latOrd >= 0 && schema(latOrd).dataType == DoubleType &&
+      lonOrd >= 0 && schema(lonOrd).dataType == DoubleType &&
+      zOrd >= 0 && schema(zOrd).dataType == LongType &&
+      (keyOrd < 0 || schema(keyOrd).dataType == LongType)
+    if (!fastOk) {
+      val written = org.apache.spark.sql.GraftParquetDirect.write(clustered, unitDir)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      SnapshotStore.trace("append.write", t0)
+      val entries = footerStats(unitDir, lineageId, wallMs, withZ = true,
+        only = Some(written.map(_._1).toSet))
+      return UnitWrite(entries, None, None, schema)
+    }
+    val hashCap =
+      if (keyOrd >= 0) SnapshotStore.BloomCollectRowsCutoff.toInt else 0
+    val res = org.apache.spark.sql.GraftParquetDirect.writeStats(clustered,
+      unitDir, UnitTaskStats.observer(latOrd, lonOrd, zOrd, keyOrd,
+        histRes, hashCap))
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    SnapshotStore.trace("append.write", t0)
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(unitDir)
+    val fs = dirPath.getFileSystem(conf)
+    val nonEmpty = res.filter(_._2 > 0)
+    val entries = nonEmpty.map { case (name, rows, s) =>
+      FileEntry(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(dirPath, name)).toString,
+        rows, s.minZ, s.maxZ, s.minLat, s.maxLat, s.minLon, s.maxLon,
+        lineageId, wallMs)
+    }
+    val totalRows = nonEmpty.map(_._2).sum
+    val taskHashesOk = keyOrd < 0 ||
+      (totalRows <= SnapshotStore.BloomCollectRowsCutoff &&
+        nonEmpty.forall(!_._3.hashOverflow))
+    val byFile =
+      if (!taskHashesOk) None // relational UnitStatsAgg pass sizes the unit's bitsets
+      else Some {
+        val bits =
+          if (keyOrd >= 0 && nonEmpty.nonEmpty)
+            Bloom.bitsFor(nonEmpty.map(_._2).max)
+          else 0
+        nonEmpty.zip(entries).map { case ((_, _, s), e) =>
+          val bs =
+            if (keyOrd < 0) Array.emptyLongArray
+            else {
+              val b = new Array[Long](bits / 64)
+              s.hashes.foreach(Bloom.add(b, _))
+              b
+            }
+          (SnapshotStore.normalizePath(e.path), FileStats(bs, s.leaves))
+        }.sortBy(_._1)
+      }
+    UnitWrite(entries, byFile,
+      if (keyOrd >= 0) bloomKey else None, schema)
+  }
+
+  /** Sidecar JSON for a just-written unit: from the in-task stats when
+    * available, else the round-5 relational pass over the written files. */
+  private def writeUnitSidecars(uw: UnitWrite, unitDir: String,
+                                lineageId: String): Seq[java.nio.file.Path] =
+    if (uw.entries.isEmpty) Seq.empty
+    else uw.byFile match {
+      case Some(bf) => writeSidecarJson(lineageId, bf, uw.bloomCol)
+      case None => writeSidecars(unitDir, lineageId, uw.entries, uw.schema)
+    }
 
   /** Appends COMMUTE: the unit's data files and sidecars are already on
     * disk under unique names and the manifest merge is purely additive, so
@@ -575,6 +662,16 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
           .toSeq.sortBy(_._1)
     }
     SnapshotStore.trace("sidecars.stats", tSc)
+    writeSidecarJson(lineageId, byFile, key)
+  }
+
+  /** Driver-side sidecar JSON from assembled per-file stats (shared by
+    * the relational pass above and the in-task [[UnitTaskStats]] path —
+    * same documents either way). */
+  private def writeSidecarJson(lineageId: String,
+                               byFile: Seq[(String, FileStats)],
+                               bloomCol: Option[String])
+      : Seq[java.nio.file.Path] = {
     val tJson = System.nanoTime()
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val written = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
@@ -590,7 +687,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     put(histDir, MetaJson.histJson(cellTotals.toSeq.sortBy(_._1)))
     put(indexDir, MetaJson.indexJson(histRes,
       byFile.map { case (f, fs) => (f, fs.leaves.toSeq) }))
-    key.foreach { kc =>
+    bloomCol.foreach { kc =>
       put(bloomDir, MetaJson.bloomJson(kc, Bloom.K,
         byFile.map { case (f, fs) => (f, fs.bits) }))
     }
@@ -1248,15 +1345,13 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     val unitDir = s"$root/data/compact-${base + 1}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val keyed = withCurveKey(df)
-    val written = org.apache.spark.sql.GraftParquetDirect.write(
+    val lineage = s"compact-${base + 1}"
+    val uw = writeUnitFiles(
       keyed
         .repartitionByRange(parts, col("__z"))
         .sortWithinPartitions(col("__z")),
-      unitDir)
-    val wallMs = (System.nanoTime() - t0) / 1000000
-    val lineage = s"compact-${base + 1}"
-    val stats = footerStats(unitDir, lineage, wallMs, withZ = true,
-      only = Some(written.map(_._1).toSet))
+      unitDir, lineage, t0)
+    val stats = uw.entries
     // replacing commit: new manifest = compacted entries + the BASE
     // manifest's lineage ids as zero-file markers so resumableRun still
     // skips them (read from `base`, not the live pointer — a racer's
@@ -1279,7 +1374,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
     // append's freshly written histogram (its unit is not in `base`) must
     // survive or its hot cells vanish from the hint.
     val folded = lineageMarkers.map(_.lineageId).toSet + lineage
-    val fresh = writeSidecars(unitDir, lineage, stats, keyed.schema).toSet
+    val fresh = writeUnitSidecars(uw, unitDir, lineage).toSet
     Seq(histDir, bloomDir, indexDir).foreach { dir =>
       if (Files.exists(dir))
         listDir(dir).filterNot(fresh.contains).foreach { d =>

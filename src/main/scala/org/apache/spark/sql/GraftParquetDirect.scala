@@ -9,6 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.util.SerializableConfiguration
 
+import scala.reflect.ClassTag
+
 /** Committer-free parquet write for [[graft.table.SnapshotStore]]'s data
   * units.
   *
@@ -34,6 +36,12 @@ import org.apache.spark.util.SerializableConfiguration
   * unit dir; callers pass the returned names to `footerStats(only = …)` so
   * such orphans never reach the manifest, and readers never list dirs.
   *
+  * [[writeStats]] additionally threads every row through a caller-supplied
+  * per-task observer while it is being written — the write task sees each
+  * row anyway, so unit-level statistics (per-cell slabs, Bloom hashes,
+  * file min/max) cost no second pass over the data
+  * ([[graft.table.UnitTaskStats]]).
+  *
   * Lives in `org.apache.spark.sql` for the same reason as
   * [[GraftColumnBridge]]: `classic.Dataset.queryExecution` and
   * `SerializableConfiguration` sit behind `private[sql]`/`private[spark]`.
@@ -48,7 +56,19 @@ object GraftParquetDirect {
     * schema-bearing file when every partition is empty, like the
     * built-in writer, so the dir stays readable. */
   def write(df: Dataset[Row], dir: String,
-            overwrite: Boolean = false): Seq[(String, Long)] = {
+            overwrite: Boolean = false): Seq[(String, Long)] =
+    writeStats[Null](df, dir,
+      () => ((_: InternalRow) => (), () => null), overwrite)
+      .map(r => (r._1, r._2))
+
+  /** [[write]], with a per-task row observer: `observer()` is invoked once
+    * per written file (inside the task), its first function sees every row
+    * in write order, and its second produces the task's summary, returned
+    * with the (fileName, rowCount) pair. The observer closure and `S` must
+    * be serializable. */
+  def writeStats[S](df: Dataset[Row], dir: String,
+                    observer: () => (InternalRow => Unit, () => S),
+                    overwrite: Boolean = false): Seq[(String, Long, S)] = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     conf.set(ParquetOutputFormat.WRITE_SUPPORT_CLASS,
@@ -88,25 +108,28 @@ object GraftParquetDirect {
       if (codec == "UNCOMPRESSED") ".parquet"
       else "." + codec.toLowerCase + ".parquet"
     val rdd = df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
-    val written: Seq[(String, Long)] =
+    implicit val ct: ClassTag[Option[(String, Long, S)]] =
+      ClassTag(classOf[Option[_]]).asInstanceOf[ClassTag[Option[(String, Long, S)]]]
+    val written: Seq[(String, Long, S)] =
       if (rdd.getNumPartitions == 0) Seq.empty
       else spark.sparkContext
         .runJob(rdd, (tc: TaskContext, it: Iterator[InternalRow]) =>
           writeOne(ser, dir, uuid, ext, tc.partitionId(), tc.attemptNumber(),
-            it, force = false))
+            it, force = false, observer))
         .flatten.toSeq
     if (written.nonEmpty) written
     else writeOne(ser, dir, uuid, ext, 0, 0,
-      Iterator.empty, force = true).toSeq
+      Iterator.empty, force = true, observer).toSeq
   }
 
   /** One task's (or the driver's empty-fallback) file. The attempt number
     * is part of the name: a re-run attempt can never collide with — or
     * half-overwrite — a prior attempt's file. */
-  private def writeOne(ser: SerializableConfiguration, dir: String,
-                       uuid: String, ext: String, pid: Int, attempt: Int,
-                       it: Iterator[InternalRow],
-                       force: Boolean): Option[(String, Long)] = {
+  private def writeOne[S](ser: SerializableConfiguration, dir: String,
+                          uuid: String, ext: String, pid: Int, attempt: Int,
+                          it: Iterator[InternalRow], force: Boolean,
+                          observer: () => (InternalRow => Unit, () => S))
+      : Option[(String, Long, S)] = {
     if (!force && !it.hasNext) return None
     val name = f"part-$pid%05d-$uuid-a$attempt$ext"
     val out = new Path(dir, name)
@@ -118,11 +141,17 @@ object GraftParquetDirect {
           c: org.apache.hadoop.mapreduce.TaskAttemptContext,
           e: String): Path = out
     }
+    val (obs, fin) = observer()
     val w = fmt.getRecordWriter(tac)
     var rows = 0L
     try {
-      while (it.hasNext) { w.write(null, it.next()); rows += 1 }
+      while (it.hasNext) {
+        val r = it.next()
+        obs(r)
+        w.write(null, r)
+        rows += 1
+      }
     } finally w.close(tac)
-    Some((name, rows))
+    Some((name, rows, fin()))
   }
 }
