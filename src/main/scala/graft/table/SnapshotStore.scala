@@ -416,7 +416,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       keyed
         .repartitionByRange(parts, col("__z"))
         .sortWithinPartitions(col("__z")),
-      unitDir, lineageId, t0)
+      unitDir, lineageId, t0, parts)
     val t2 = System.nanoTime()
     writeUnitSidecars(uw, unitDir, lineageId)
     SnapshotStore.trace("append.sidecars", t2)
@@ -442,7 +442,8 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
                                schema: org.apache.spark.sql.types.StructType)
 
   private def writeUnitFiles(clustered: DataFrame, unitDir: String,
-                             lineageId: String, t0: Long): UnitWrite = {
+                             lineageId: String, t0: Long,
+                             parts: Int): UnitWrite = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val schema = clustered.schema
     val names = schema.fieldNames
@@ -463,8 +464,17 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
         only = Some(written.map(_._1).toSet))
       return UnitWrite(entries, None, None, schema)
     }
+    // per-task share of the unit-level cutoff: every task under its
+    // share ⇒ the unit is under the cutoff, and the driver receives at
+    // most cutoff × 8 B of hashes TOTAL — the same bound the round-5
+    // collect_list path documented. A task past its share overflows and
+    // the Bloom work degrades to the distributed UnitStatsAgg pass
+    // (correct either way; a skewed small unit merely loses the
+    // single-pass shortcut).
     val hashCap =
-      if (keyOrd >= 0) SnapshotStore.BloomCollectRowsCutoff.toInt else 0
+      if (keyOrd >= 0)
+        math.max(1L, SnapshotStore.BloomCollectRowsCutoff / math.max(1, parts)).toInt
+      else 0
     val res = org.apache.spark.sql.GraftParquetDirect.writeStats(clustered,
       unitDir, UnitTaskStats.observer(latOrd, lonOrd, zOrd, keyOrd,
         histRes, hashCap))
@@ -1350,7 +1360,7 @@ final class SnapshotStore(spark: SparkSession, root: String, zRes: Int = 12,
       keyed
         .repartitionByRange(parts, col("__z"))
         .sortWithinPartitions(col("__z")),
-      unitDir, lineage, t0)
+      unitDir, lineage, t0, parts)
     val stats = uw.entries
     // replacing commit: new manifest = compacted entries + the BASE
     // manifest's lineage ids as zero-file markers so resumableRun still

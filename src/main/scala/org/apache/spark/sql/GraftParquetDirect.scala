@@ -90,6 +90,7 @@ object GraftParquetDirect {
       .get("spark.sql.parquet.compression.codec", "snappy")
       .toLowerCase match {
         case "none" | "uncompressed" => "UNCOMPRESSED"
+        case "lz4raw" | "lz4_raw"    => "LZ4_RAW" // ParquetOptions' one non-identity mapping
         case c                       => c.toUpperCase
       }
     conf.set(ParquetOutputFormat.COMPRESSION, codec)
@@ -114,28 +115,49 @@ object GraftParquetDirect {
       if (rdd.getNumPartitions == 0) Seq.empty
       else spark.sparkContext
         .runJob(rdd, (tc: TaskContext, it: Iterator[InternalRow]) =>
-          writeOne(ser, dir, uuid, ext, tc.partitionId(), tc.attemptNumber(),
+          writeOne(ser, dir, uuid, ext, tc.partitionId(), tc.taskAttemptId(),
             it, force = false, observer))
         .flatten.toSeq
-    if (written.nonEmpty) written
-    else writeOne(ser, dir, uuid, ext, 0, 0,
-      Iterator.empty, force = true, observer).toSeq
+    val out =
+      if (written.nonEmpty) written
+      else writeOne(ser, dir, uuid, ext, 0, 0L,
+        Iterator.empty, force = true, observer).toSeq
+    dropUnreported(fs, fsPath, out.map(_._1).toSet)
+    out
   }
 
-  /** One task's (or the driver's empty-fallback) file. The attempt number
-    * is part of the name: a re-run attempt can never collide with — or
-    * half-overwrite — a prior attempt's file. */
+  /** Delete `part-*` files a failed or zombie task attempt left behind —
+    * only the files reported by SUCCESSFUL tasks survive, restoring the
+    * builtin committer's "only committed files are visible" property for
+    * consumers that read the directory (staging re-reads, the DuckDB
+    * oracle's glob). A speculative attempt still running at cleanup time
+    * writes under its own task-attempt-unique name and can at worst
+    * re-orphan a file afterwards; manifest-keyed readers never see it,
+    * and the unit's own stats/reads go through the reported list. */
+  private def dropUnreported(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: Path, reported: Set[String]): Unit =
+    fs.listStatus(dir)
+      .filter(f => f.getPath.getName.startsWith("part-") &&
+        !reported.contains(f.getPath.getName))
+      .foreach(f => fs.delete(f.getPath, false))
+
+  /** One task's (or the driver's empty-fallback) file. The APP-UNIQUE
+    * `TaskContext.taskAttemptId` is part of the name — unlike
+    * `attemptNumber`, it does not restart at 0 when a stage is
+    * resubmitted, so a re-run attempt (or a zombie from a previous stage
+    * attempt) can never collide with — or half-overwrite — another
+    * attempt's file. */
   private def writeOne[S](ser: SerializableConfiguration, dir: String,
-                          uuid: String, ext: String, pid: Int, attempt: Int,
+                          uuid: String, ext: String, pid: Int, attempt: Long,
                           it: Iterator[InternalRow], force: Boolean,
                           observer: () => (InternalRow => Unit, () => S))
       : Option[(String, Long, S)] = {
     if (!force && !it.hasNext) return None
-    val name = f"part-$pid%05d-$uuid-a$attempt$ext"
+    val name = f"part-$pid%05d-$uuid-t$attempt$ext"
     val out = new Path(dir, name)
     val tac = new TaskAttemptContextImpl(ser.value,
       new TaskAttemptID(new TaskID(new JobID(uuid, 0), TaskType.MAP, pid),
-        attempt))
+        (attempt % Int.MaxValue).toInt))
     val fmt = new ParquetOutputFormat[InternalRow]() {
       override def getDefaultWorkFile(
           c: org.apache.hadoop.mapreduce.TaskAttemptContext,

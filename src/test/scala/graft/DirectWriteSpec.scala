@@ -36,6 +36,11 @@ class DirectWriteSpec extends AnyFunSuite {
     assert(b.inputFiles.length == a.inputFiles.length)
     assert(written.map(_._2).sum == 5000L)
     assert(written.forall(_._1.startsWith("part-")))
+    // the dir holds EXACTLY the reported files — the post-job cleanup's
+    // contract for consumers that read the directory (staging, oracle)
+    val onDisk = new java.io.File(s"$base/direct").list()
+      .filter(_.startsWith("part-")).toSet
+    assert(onDisk == written.map(_._1).toSet)
     graft.ops.OpUtil.deleteTree(base)
   }
 
